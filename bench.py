@@ -1,0 +1,90 @@
+#!/usr/bin/env python3
+"""Headline benchmark: sustained 752x576 uint8-RGBA enhance throughput on one chip.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "fps", "vs_baseline": N, ...}
+
+Baseline: the rebuild north star is >=60 fps sustained, p50 < 5 ms/frame on
+one TPU v5e chip (BASELINE.md "Rebuild north star"); vs_baseline = fps / 60.
+
+Methodology: the deployed enhance function (full uint8->uint8 chunky wrapper,
+weights imported from the reference's shipped pix_shuffle.onnx) is applied in
+a dependency CHAIN — each frame's input is the previous frame's output — and
+the final result is fetched to host. total_time / N is then true on-device
+per-frame latency; chaining defeats the async-dispatch pipelining of the
+remote-TPU tunnel, where block_until_ready alone returns early and naive
+per-call timing reports physically impossible numbers (measured: a 8192^3
+matmul "at" 37 PFLOPS). The protocol mirrors the reference's 20-warmups +
+sustained-window loop (model_pix_shuffle.py:348-368) in spirit, with honest
+synchronisation.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fs_uae_image_enhancer_project_tpu.export.enhance import (
+        default_enhance_fn,
+        enhance_from_onnx,
+    )
+
+    duration = float(os.environ.get("BENCH_DURATION_S", "20"))
+    onnx_path = "/root/reference/model/model_pix_shuffle/pix_shuffle.onnx"
+    if os.path.exists(onnx_path):
+        enhance = enhance_from_onnx(onnx_path, donate=False)
+        source = "shipped pix_shuffle.onnx weights"
+    else:
+        enhance, _ = default_enhance_fn(donate=False)
+        source = "random-init pix_shuffle weights"
+
+    rng = np.random.default_rng(0)
+    frame = jnp.asarray(rng.integers(0, 256, (1, 576, 752, 4), dtype=np.uint8))
+
+    # compile + warmup
+    t0 = time.perf_counter()
+    _ = np.asarray(enhance(frame))
+    compile_s = time.perf_counter() - t0
+    y = frame
+    for _ in range(20):
+        y = enhance(y)
+    _ = np.asarray(y)
+
+    # timed chained window
+    chunk = 100
+    total_iters = 0
+    t_start = time.perf_counter()
+    y = frame
+    while time.perf_counter() - t_start < duration:
+        for _ in range(chunk):
+            y = enhance(y)
+        _ = np.asarray(y)  # fetch forces completion of the whole chain
+        total_iters += chunk
+    total_s = time.perf_counter() - t_start
+
+    fps = total_iters / total_s
+    ms = 1e3 * total_s / total_iters
+    out = {
+        "metric": "pix_shuffle 752x576 uint8 RGBA enhance, sustained fps (1 chip, chained)",
+        "value": round(fps, 2),
+        "unit": "fps",
+        "vs_baseline": round(fps / 60.0, 3),
+        "ms_per_frame": round(ms, 3),
+        "compile_s": round(compile_s, 1),
+        "iterations": total_iters,
+        "backend": jax.default_backend(),
+        "device": str(jax.devices()[0]),
+        "weights": source,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

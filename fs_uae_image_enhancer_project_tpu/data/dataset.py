@@ -1,0 +1,237 @@
+"""Sample gathering and the training data pipeline.
+
+Counterpart of reference ``model/srdataset.py``:
+
+- :func:`gather_all_samples_from_directory` walks the generator output tree,
+  parses filenames, groups by crop location, validates target sizes, and
+  pairs every (style-filtered) styled file with its target
+  (srdataset.py:141-244).
+- :class:`SRDataset` draws uniform random pairs, applies synchronized H/V
+  flips and converts sRGB->linear via ``t**2.2`` (srdataset.py:250-340):
+  the dataset length is a *declared* ``num_samples`` decoupled from the pool.
+
+TPU-native input pipeline: instead of torch DataLoader worker processes, a
+thread pool decodes PNGs into pinned numpy batches while a background
+prefetcher keeps ``prefetch`` batches in flight to device memory — the
+host->HBM analogue of pin_memory+non_blocking (train.py:449).
+"""
+from __future__ import annotations
+
+import os
+import queue
+import threading
+import warnings
+from collections import defaultdict
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Iterator, List, Optional, Sequence, Set, Tuple
+
+import numpy as np
+
+from .codec import parse_generated_filename
+
+Pair = Tuple[str, str]
+
+
+def gather_all_samples_from_directory(
+    directory_path: str,
+    expected_crop_size: Tuple[int, int],
+    styles_to_include: Optional[Set[str]] = None,
+    verbose: int = 1,
+) -> List[Pair]:
+    """Collect all (styled_path, target_path) pairs under a generator split.
+
+    Grouping key: (subdirectory name, crop_x, crop_y, s<scale>, r<rot>)
+    (srdataset.py:177-183). Styled files whose style_name contains any of
+    ``styles_to_include`` substrings pass the filter (srdataset.py:209-213).
+    Target image sizes are validated against ``expected_crop_size`` (W, H).
+    """
+    if not os.path.isdir(directory_path):
+        raise FileNotFoundError(f"Data directory not found: {directory_path}")
+
+    from PIL import Image
+
+    grouped: Dict[tuple, List[dict]] = defaultdict(list)
+    root_abs = os.path.abspath(directory_path)
+    for root, _dirs, files in os.walk(directory_path):
+        if os.path.abspath(root) == root_abs:
+            continue  # files live in per-image subdirectories
+        dirname = os.path.basename(root)
+        for filename in files:
+            info = parse_generated_filename(filename)
+            if info is None:
+                continue
+            info["full_path"] = os.path.join(root, filename)
+            key = (
+                dirname,
+                info["crop_x"],
+                info["crop_y"],
+                info["scale_part"],
+                info["rot_part"],
+            )
+            grouped[key].append(info)
+
+    pairs: List[Pair] = []
+    for _key, infos in grouped.items():
+        target = next((i for i in infos if i["type"] == "target"), None)
+        if target is None:
+            continue
+        styled = [
+            i
+            for i in infos
+            if i["type"] == "style"
+            and (
+                styles_to_include is None
+                or any(s in i["style_name"] for s in styles_to_include)
+            )
+        ]
+        if not styled:
+            continue
+        try:
+            with Image.open(target["full_path"]) as img:
+                if img.size != tuple(expected_crop_size):
+                    if verbose >= 1:
+                        warnings.warn(
+                            f"Target {target['full_path']} has size {img.size}, "
+                            f"expected {expected_crop_size}. Skipping location."
+                        )
+                    continue
+        except Exception as e:  # unreadable target: skip the whole location
+            if verbose >= 1:
+                warnings.warn(f"Could not read target {target['full_path']}: {e}")
+            continue
+        for s in styled:
+            pairs.append((s["full_path"], target["full_path"]))
+
+    if verbose >= 1:
+        print(f"Gathered {len(pairs)} sample pairs from {directory_path}")
+    return pairs
+
+
+def split_pairs(
+    pairs: Sequence[Pair], val_ratio: float, seed: int = 0
+) -> Tuple[List[Pair], List[Pair]]:
+    """Shuffle + ratio split with the reference's 1-sample guards
+    (train.py:384-416)."""
+    pairs = list(pairs)
+    rng = np.random.default_rng(seed)
+    rng.shuffle(pairs)
+    n = len(pairs)
+    val_ratio = min(max(val_ratio, 0.0), 1.0)
+    n_val = int(n * val_ratio)
+    n_train = n - n_val
+    if n > 0:
+        if n_train == 0:
+            n_train, n_val = 1, n - 1
+        if n_val == 0 and val_ratio > 0 and n > 1:
+            n_val, n_train = 1, n - 1
+    return pairs[:n_train], pairs[n_train : n_train + n_val]
+
+
+def _load_pair(
+    pair: Pair, linear: bool, hflip: bool, vflip: bool
+) -> Tuple[np.ndarray, np.ndarray]:
+    from PIL import Image
+
+    out = []
+    for path in pair:
+        with Image.open(path) as img:
+            arr = np.asarray(img.convert("RGB"), dtype=np.float32) / 255.0
+        if hflip:
+            arr = arr[:, ::-1]
+        if vflip:
+            arr = arr[::-1]
+        if linear:
+            arr = arr**2.2  # sRGB -> linear approx (srdataset.py:337-338)
+        out.append(np.ascontiguousarray(arr))
+    return out[0], out[1]
+
+
+class SRDataset:
+    """Random-draw pair dataset with synchronized flips (srdataset.py:250-340).
+
+    Iterating yields ``num_samples // batch_size`` batches of
+    (lr, hr) NHWC float32 arrays per epoch; draws are uniform over the pool
+    regardless of the declared epoch size, and load errors retry with a fresh
+    draw (srdataset.py:316-321).
+    """
+
+    def __init__(
+        self,
+        sample_pairs_list: Sequence[Pair],
+        expected_crop_size: Tuple[int, int],
+        num_samples: int,
+        *,
+        batch_size: int = 1,
+        seed: int = 0,
+        linear: bool = True,
+        flips: bool = True,
+        num_workers: int = 4,
+    ):
+        self.pool: List[Pair] = list(sample_pairs_list)
+        if not self.pool:
+            warnings.warn("SRDataset initialized with an empty sample pool.")
+        self.crop_w, self.crop_h = expected_crop_size
+        self.num_samples = num_samples
+        self.batch_size = batch_size
+        self.linear = linear
+        self.flips = flips
+        self.num_workers = num_workers
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self) -> int:
+        return self.num_samples // self.batch_size
+
+    def _draw(self) -> Tuple[np.ndarray, np.ndarray]:
+        for _attempt in range(10):
+            idx = int(self._rng.integers(0, len(self.pool)))
+            hflip = self.flips and bool(self._rng.random() < 0.5)
+            vflip = self.flips and bool(self._rng.random() < 0.5)
+            try:
+                return _load_pair(self.pool[idx], self.linear, hflip, vflip)
+            except Exception as e:  # retry with another draw
+                warnings.warn(f"Error loading {self.pool[idx]}: {e}. Retrying.")
+        raise RuntimeError("10 consecutive sample load failures")
+
+    def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        if not self.pool:
+            raise IndexError("SRDataset pool is empty. Cannot draw samples.")
+        n_batches = len(self)
+        with ThreadPoolExecutor(max_workers=self.num_workers) as ex:
+            for _ in range(n_batches):
+                items = list(ex.map(lambda _: self._draw(), range(self.batch_size)))
+                lr = np.stack([a for a, _ in items])
+                hr = np.stack([b for _, b in items])
+                yield lr, hr
+
+
+def device_prefetch(iterator, size: int = 2, sharding=None):
+    """Wrap a host batch iterator with a background to-device prefetch queue.
+
+    The TPU-native replacement for pinned-memory DataLoader transfer overlap:
+    ``size`` batches are kept in flight (jax.device_put is async) while the
+    train step consumes the current one.
+    """
+    import jax
+
+    q: "queue.Queue" = queue.Queue(maxsize=size)
+    END = object()
+
+    def put(batch):
+        if sharding is not None:
+            return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+        return jax.tree.map(jax.device_put, batch)
+
+    def producer():
+        try:
+            for batch in iterator:
+                q.put(put(batch))
+        finally:
+            q.put(END)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is END:
+            break
+        yield item

@@ -1,0 +1,68 @@
+"""Crop-scan result cache with mtime invalidation.
+
+Counterpart of reference ``dataset_generator/cache.py`` (a diskcache wrapper;
+diskcache is not in this image, so the store is a single sqlite3 database —
+same semantics: JSON values keyed ``f"{img_path}_rot{r}_ds{s}"``, entries
+invalidated when the source image's mtime changes).
+"""
+from __future__ import annotations
+
+import json
+import os
+import sqlite3
+import threading
+from typing import Any, Optional
+
+
+class ScanCache:
+    def __init__(self, cache_dir: str = ".scan_cache"):
+        os.makedirs(cache_dir, exist_ok=True)
+        self.path = os.path.join(cache_dir, "scan_cache.sqlite")
+        self._local = threading.local()
+        with self._conn() as c:
+            c.execute(
+                "CREATE TABLE IF NOT EXISTS scan ("
+                "key TEXT PRIMARY KEY, mtime REAL, value TEXT)"
+            )
+
+    def _conn(self) -> sqlite3.Connection:
+        conn = getattr(self._local, "conn", None)
+        if conn is None:
+            conn = sqlite3.connect(self.path, timeout=30.0)
+            self._local.conn = conn
+        return conn
+
+    @staticmethod
+    def make_key(img_path: str, rotation: int, downscale: int) -> str:
+        return f"{img_path}_rot{rotation}_ds{downscale}"
+
+    def get(self, key: str, src_path: str) -> Optional[Any]:
+        """Return the cached value, or None if absent or the source image
+        changed since caching (mtime check, reference cache.py:31-41)."""
+        row = self._conn().execute(
+            "SELECT mtime, value FROM scan WHERE key = ?", (key,)
+        ).fetchone()
+        if row is None:
+            return None
+        try:
+            current = os.path.getmtime(src_path)
+        except OSError:
+            return None
+        if abs(current - row[0]) > 1e-6:
+            return None
+        return json.loads(row[1])
+
+    def put(self, key: str, src_path: str, value: Any) -> None:
+        try:
+            mtime = os.path.getmtime(src_path)
+        except OSError:
+            return
+        with self._conn() as c:
+            c.execute(
+                "INSERT OR REPLACE INTO scan (key, mtime, value) VALUES (?, ?, ?)",
+                (key, mtime, json.dumps(value)),
+            )
+
+    def clear(self) -> None:
+        with self._conn() as c:
+            c.execute("DELETE FROM scan")

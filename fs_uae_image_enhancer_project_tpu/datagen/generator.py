@@ -1,0 +1,477 @@
+"""The idempotent dataset generator.
+
+Counterpart of reference ``dataset_generator/generator.py`` (the 1.7k-line
+orchestrator). The core idea is preserved — build the full cartesian spec
+space, diff it against what already exists on disk, generate only the delta —
+so a crashed or killed run resumes by re-running the same command
+(generator.py:1157-1275). Re-designed around a small Spec dataclass and a
+clean phase pipeline:
+
+1. discover ground-truth images per split          (_load_image_paths)
+2. scan valid crop locations (cached, threaded)    (_scan_ground_truth)
+3. build the full valid spec set                   (_build_specs)
+4. scan + validate the output directory            (_scan_output)
+5. delete invalid/orphaned files                   (_cleanup_invalid)
+6. compute the generate/keep/delete delta          (_plan)
+7. generate targets then styled files (processes)  (_generate)
+8. final summary                                   (summary)
+
+SIGINT sets a stop flag checked at every phase boundary and between work
+items (generator.py:597-606 semantics). Filenames use the shared codec in
+``data/codec.py``.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+import signal
+import sys
+import time
+from concurrent.futures import ProcessPoolExecutor, as_completed
+from dataclasses import dataclass, field
+from typing import Dict, Iterable, List, Optional, Sequence, Set, Tuple
+
+from ..data.codec import construct_filename, parse_generated_filename
+from .cache import ScanCache
+from .quantize import valid_dither_methods, VALID_COLOR_SPACES
+from .util_img import (
+    SUPPORTED_RESOLUTION_STYLES,
+    apply_downscaling,
+    apply_rotation,
+    calculate_grid_coords,
+    get_crop_and_pad,
+    post_apply_resolution_style,
+    pre_apply_resolution_style,
+    should_discard_by_black_ratio,
+)
+
+_stop_requested = False
+
+
+def _sigint_handler(_sig, _frm):
+    global _stop_requested
+    _stop_requested = True
+    print("\nStop requested — finishing in-flight work, then exiting cleanly.")
+
+
+@dataclass(frozen=True)
+class StyleCombo:
+    resolution: str
+    colorspace: str  # 'RGB444' etc.
+    palette: Optional[int]  # None = no palette reduction
+    dither: str
+
+
+@dataclass(frozen=True)
+class CropSpec:
+    split: str  # 'train' | 'test'
+    image_path: str
+    image_base: str  # subdirectory name (image filename without ext)
+    crop_x: int
+    crop_y: int
+    scale_perc: int  # 100 = no downscale
+    rot_deg: int
+
+    def params(self) -> dict:
+        return {
+            "crop_x": self.crop_x,
+            "crop_y": self.crop_y,
+            "scale_perc": self.scale_perc,
+            "rot_deg": self.rot_deg,
+        }
+
+
+@dataclass
+class GeneratorConfig:
+    train_images: Sequence[str] = ()
+    test_images: Sequence[str] = ()
+    dest_dir: str = "generated"
+    crop_w: int = 376
+    crop_h: int = 288
+    resolutions: Sequence[str] = ("lores",)
+    colorspaces: Sequence[str] = ("RGB444",)
+    palettes: Sequence[Optional[int]] = (32,)  # 0/None = no palette
+    dithers: Sequence[str] = ("none",)
+    rotations: Sequence[int] = (0,)
+    downscales: Sequence[int] = (100,)  # percent; 100 = none
+    palette_algorithm: str = "kmeans"
+    black_ratio_threshold: float = 0.75
+    max_crops_per_image: Optional[int] = None  # quota per (image, rot, ds)
+    workers: int = max(1, (os.cpu_count() or 2) - 1)
+    cache_dir: str = ".scan_cache"
+    assume_yes: bool = True  # non-interactive delete of invalid files
+    verbose: int = 1
+
+    def style_combos(self) -> List[StyleCombo]:
+        combos = []
+        for res in self.resolutions:
+            if res not in SUPPORTED_RESOLUTION_STYLES:
+                raise ValueError(f"unknown resolution style {res}")
+            for cs in self.colorspaces:
+                if cs not in VALID_COLOR_SPACES:
+                    raise ValueError(f"unknown colorspace {cs}")
+                for pal in self.palettes:
+                    pal_n = None if not pal else int(pal)
+                    for dit in self.dithers:
+                        if dit not in valid_dither_methods():
+                            raise ValueError(f"unknown dither {dit}")
+                        if dit != "none" and pal_n is None:
+                            continue  # dithering requires a palette
+                        combos.append(StyleCombo(res, cs, pal_n, dit))
+        return combos
+
+
+# ---------------------------------------------------------------------------
+# Worker functions (top-level: picklable for ProcessPoolExecutor)
+# ---------------------------------------------------------------------------
+
+def _prepare_base(image_path: str, rot: int, scale: int, crop, crop_w, crop_h):
+    from PIL import Image
+
+    with Image.open(image_path) as img:
+        img = img.convert("RGB")
+        img = apply_rotation(img, rot, supersample_factor=2)
+        if scale != 100:
+            img = apply_downscaling(img, scale)
+        return get_crop_and_pad(img, crop[0], crop[1], crop_w, crop_h)
+
+
+def save_target_worker(args) -> Tuple[str, Optional[str]]:
+    """Generate one target (ground-truth) crop PNG (generator.py:229-283)."""
+    spec_d, crop_w, crop_h, out_path = args
+    try:
+        crop = _prepare_base(
+            spec_d["image_path"], spec_d["rot_deg"], spec_d["scale_perc"],
+            (spec_d["crop_x"], spec_d["crop_y"]), crop_w, crop_h,
+        )
+        os.makedirs(os.path.dirname(out_path), exist_ok=True)
+        crop.save(out_path)
+        return out_path, None
+    except Exception as e:
+        return out_path, f"{type(e).__name__}: {e}"
+
+
+def save_styled_worker(args) -> Tuple[str, Optional[str]]:
+    """Generate one styled crop PNG: rotate -> downscale -> crop -> pre-style
+    -> quantize/dither -> post-style -> save (generator.py:381-537)."""
+    import numpy as np
+    from PIL import Image
+
+    from .quantize import reduce_color_depth_and_dither
+
+    spec_d, combo_d, crop_w, crop_h, palette_algorithm, out_path = args
+    try:
+        crop = _prepare_base(
+            spec_d["image_path"], spec_d["rot_deg"], spec_d["scale_perc"],
+            (spec_d["crop_x"], spec_d["crop_y"]), crop_w, crop_h,
+        )
+        low = pre_apply_resolution_style(crop, combo_d["resolution"])
+        arr = np.asarray(low, dtype=np.uint8)
+        out = reduce_color_depth_and_dither(
+            arr,
+            color_space=combo_d["colorspace"],
+            target_palette_size=combo_d["palette"],
+            dithering_method=combo_d["dither"],
+            palette_algorithm=palette_algorithm,
+            verbose=0,
+        )
+        styled = post_apply_resolution_style(
+            Image.fromarray(out), combo_d["resolution"]
+        )
+        os.makedirs(os.path.dirname(out_path), exist_ok=True)
+        styled.save(out_path)
+        return out_path, None
+    except Exception as e:
+        return out_path, f"{type(e).__name__}: {e}"
+
+
+def scan_image_task(args) -> List[Tuple[int, int]]:
+    """Find valid crop coordinates for one (image, rot, ds): NEAREST-rotate
+    (fast scan), downscale, grid coords, black-ratio filter
+    (generator.py:161-227)."""
+    from PIL import Image
+
+    image_path, rot, scale, crop_w, crop_h, threshold = args
+    with Image.open(image_path) as img:
+        img = img.convert("RGB")
+        if rot % 360:
+            img = img.rotate(rot, resample=Image.Resampling.NEAREST)
+        if scale != 100:
+            img = apply_downscaling(img, scale)
+        coords = calculate_grid_coords(img.size[0], img.size[1], crop_w, crop_h)
+        valid = []
+        for (x, y) in coords:
+            crop = get_crop_and_pad(img, x, y, crop_w, crop_h)
+            if not should_discard_by_black_ratio(crop, threshold):
+                valid.append((x, y))
+        return valid
+
+
+# ---------------------------------------------------------------------------
+# The orchestrator
+# ---------------------------------------------------------------------------
+
+class DatasetGenerator:
+    def __init__(self, cfg: GeneratorConfig):
+        self.cfg = cfg
+        self.cache = ScanCache(cfg.cache_dir)
+        self.combos = cfg.style_combos()
+        self._log(1, f"{len(self.combos)} style combinations active")
+
+    def _log(self, level: int, msg: str) -> None:
+        if self.cfg.verbose >= level:
+            print(msg, flush=True)
+
+    # -- phase 1 -----------------------------------------------------------
+    def _load_image_paths(self) -> Dict[str, List[str]]:
+        out: Dict[str, List[str]] = {"train": [], "test": []}
+        for split, roots in (("train", self.cfg.train_images),
+                             ("test", self.cfg.test_images)):
+            for root in roots:
+                if os.path.isfile(root):
+                    out[split].append(root)
+                    continue
+                for r, _d, files in os.walk(root):
+                    for f in sorted(files):
+                        if f.lower().endswith((".png", ".jpg", ".jpeg", ".webp")):
+                            out[split].append(os.path.join(r, f))
+        self._log(1, f"found {len(out['train'])} train / {len(out['test'])} test images")
+        return out
+
+    # -- phase 2 -----------------------------------------------------------
+    def _scan_ground_truth(self, images: Dict[str, List[str]]) -> List[CropSpec]:
+        from concurrent.futures import ThreadPoolExecutor
+
+        cfg = self.cfg
+        specs: List[CropSpec] = []
+        tasks = []
+        for split, paths in images.items():
+            for p in paths:
+                for rot in cfg.rotations:
+                    for ds in cfg.downscales:
+                        tasks.append((split, p, rot, ds))
+
+        def run_one(t):
+            split, p, rot, ds = t
+            key = ScanCache.make_key(p, rot, ds)
+            cached = self.cache.get(key, p)
+            if cached is None:
+                cached = scan_image_task(
+                    (p, rot, ds, cfg.crop_w, cfg.crop_h, cfg.black_ratio_threshold)
+                )
+                self.cache.put(key, p, cached)
+            return t, cached
+
+        with ThreadPoolExecutor(max_workers=cfg.workers) as ex:
+            for (split, p, rot, ds), coords in ex.map(run_one, tasks):
+                if _stop_requested:
+                    break
+                if cfg.max_crops_per_image is not None:
+                    coords = coords[: cfg.max_crops_per_image]
+                base = os.path.splitext(os.path.basename(p))[0]
+                for (x, y) in coords:
+                    specs.append(CropSpec(split, p, base, x, y, ds, rot))
+        self._log(1, f"scan: {len(specs)} valid crop locations")
+        return specs
+
+    # -- phases 3-4 ----------------------------------------------------------
+    def _expected_files(self, specs: List[CropSpec]) -> Dict[str, tuple]:
+        """Map of expected relative path -> (spec, combo|None)."""
+        expected: Dict[str, tuple] = {}
+        for s in specs:
+            d = os.path.join(s.split, s.image_base)
+            tname = construct_filename(s.params(), is_target=True)
+            expected[os.path.join(d, tname)] = (s, None)
+            for c in self.combos:
+                p = dict(s.params())
+                p.update(
+                    resolution=c.resolution, rgb=c.colorspace,
+                    pal=c.palette, dither=c.dither,
+                )
+                sname = construct_filename(p, is_target=False)
+                expected[os.path.join(d, sname)] = (s, c)
+        return expected
+
+    def _scan_output(self) -> Set[str]:
+        """Existing parsable files, as dest-relative paths."""
+        existing: Set[str] = set()
+        dest = self.cfg.dest_dir
+        if not os.path.isdir(dest):
+            return existing
+        for root, _d, files in os.walk(dest):
+            rel_root = os.path.relpath(root, dest)
+            for f in files:
+                if parse_generated_filename(f) is not None:
+                    existing.add(os.path.normpath(os.path.join(rel_root, f)))
+        return existing
+
+    # -- phase 5-6 ----------------------------------------------------------
+    def _plan(self, expected: Dict[str, tuple], existing: Set[str]):
+        expected_set = set(map(os.path.normpath, expected.keys()))
+        to_generate = sorted(expected_set - existing)
+        orphans = sorted(existing - expected_set)
+        kept = len(expected_set & existing)
+        self._log(
+            1,
+            f"plan: {kept} up-to-date, {len(to_generate)} to generate, "
+            f"{len(orphans)} orphans",
+        )
+        return to_generate, orphans
+
+    def _cleanup_orphans(self, orphans: List[str]) -> None:
+        if not orphans:
+            return
+        if not self.cfg.assume_yes:
+            ans = input(f"Delete {len(orphans)} orphaned files? [y/N] ")
+            if ans.strip().lower() != "y":
+                return
+        for rel in orphans:
+            try:
+                os.remove(os.path.join(self.cfg.dest_dir, rel))
+            except OSError:
+                pass
+        self._log(1, f"deleted {len(orphans)} orphaned files")
+
+    # -- phase 7 ------------------------------------------------------------
+    def _generate(self, to_generate: List[str], expected: Dict[str, tuple]) -> int:
+        cfg = self.cfg
+        target_jobs, styled_jobs = [], []
+        norm_expected = {os.path.normpath(k): v for k, v in expected.items()}
+        for rel in to_generate:
+            spec, combo = norm_expected[rel]
+            out_path = os.path.join(cfg.dest_dir, rel)
+            if combo is None:
+                target_jobs.append(
+                    (dataclasses.asdict(spec), cfg.crop_w, cfg.crop_h, out_path)
+                )
+            else:
+                styled_jobs.append(
+                    (dataclasses.asdict(spec), dataclasses.asdict(combo),
+                     cfg.crop_w, cfg.crop_h, cfg.palette_algorithm, out_path)
+                )
+
+        done = 0
+        errors = 0
+        total = len(target_jobs) + len(styled_jobs)
+        t0 = time.time()
+
+        def drain(futures):
+            nonlocal done, errors
+            for fut in as_completed(futures):
+                path, err = fut.result()
+                done += 1
+                if err is not None:
+                    errors += 1
+                    self._log(1, f"ERROR {path}: {err}")
+                if done % 50 == 0 or done == total:
+                    rate = done / max(time.time() - t0, 1e-9)
+                    eta = (total - done) / max(rate, 1e-9)
+                    self._log(1, f"  {done}/{total} ({rate:.1f}/s, ETA {eta:.0f}s)")
+                if _stop_requested:
+                    for f in futures:
+                        f.cancel()
+                    break
+
+        # Phase A: targets first (styled pairing needs them); Phase B: styled.
+        for jobs, worker, label in (
+            (target_jobs, save_target_worker, "targets"),
+            (styled_jobs, save_styled_worker, "styled"),
+        ):
+            if _stop_requested or not jobs:
+                continue
+            self._log(1, f"generating {len(jobs)} {label} ...")
+            with ProcessPoolExecutor(max_workers=cfg.workers) as ex:
+                drain([ex.submit(worker, j) for j in jobs])
+        if errors:
+            self._log(1, f"completed with {errors} errors")
+        return done
+
+    # -- public --------------------------------------------------------------
+    def run(self) -> dict:
+        global _stop_requested
+        _stop_requested = False
+        prev = signal.signal(signal.SIGINT, _sigint_handler)
+        try:
+            images = self._load_image_paths()
+            specs = self._scan_ground_truth(images)
+            expected = self._expected_files(specs)
+            existing = self._scan_output()
+            to_generate, orphans = self._plan(expected, existing)
+            self._cleanup_orphans(orphans)
+            generated = 0
+            if not _stop_requested:
+                generated = self._generate(to_generate, expected)
+            return self.summary(expected, generated)
+        finally:
+            signal.signal(signal.SIGINT, prev)
+
+    def summary(self, expected: Dict[str, tuple], generated: int) -> dict:
+        existing = self._scan_output()
+        expected_set = set(map(os.path.normpath, expected.keys()))
+        stats = {
+            "expected": len(expected_set),
+            "present": len(expected_set & existing),
+            "generated_this_run": generated,
+            "missing": len(expected_set - existing),
+            "stopped": _stop_requested,
+        }
+        self._log(1, f"summary: {stats}")
+        return stats
+
+
+# ---------------------------------------------------------------------------
+# CLI (argument surface mirrors reference generator.py:1648-1670)
+# ---------------------------------------------------------------------------
+
+def main(argv: Optional[List[str]] = None) -> int:
+    import argparse
+
+    ap = argparse.ArgumentParser(description="Idempotent dataset generator")
+    ap.add_argument("--train_images", nargs="*", default=[])
+    ap.add_argument("--test_images", nargs="*", default=[])
+    ap.add_argument("--dest_dir", required=True)
+    ap.add_argument("--crop_size", type=int, nargs=2, default=[376, 288],
+                    metavar=("W", "H"))
+    ap.add_argument("--resolution", nargs="*", default=["lores"],
+                    choices=SUPPORTED_RESOLUTION_STYLES)
+    ap.add_argument("--colorspace", nargs="*", default=["RGB444"],
+                    choices=VALID_COLOR_SPACES)
+    ap.add_argument("--palette", type=int, nargs="*", default=[32],
+                    help="palette sizes; 0 means no palette reduction")
+    ap.add_argument("--dither", nargs="*", default=["none"],
+                    choices=valid_dither_methods())
+    ap.add_argument("--rotation", type=int, nargs="*", default=[0])
+    ap.add_argument("--downscale", type=int, nargs="*", default=[100])
+    ap.add_argument("--palette_algorithm", default="kmeans")
+    ap.add_argument("--max_crops_per_image", type=int, default=None)
+    ap.add_argument("--workers", type=int, default=None)
+    ap.add_argument("--cache_dir", default=".scan_cache")
+    ap.add_argument("--interactive", action="store_true")
+    ap.add_argument("--verbose", type=int, default=1)
+    args = ap.parse_args(argv)
+
+    cfg = GeneratorConfig(
+        train_images=args.train_images,
+        test_images=args.test_images,
+        dest_dir=args.dest_dir,
+        crop_w=args.crop_size[0],
+        crop_h=args.crop_size[1],
+        resolutions=tuple(args.resolution),
+        colorspaces=tuple(args.colorspace),
+        palettes=tuple(None if p == 0 else p for p in args.palette),
+        dithers=tuple(args.dither),
+        rotations=tuple(args.rotation),
+        downscales=tuple(args.downscale),
+        palette_algorithm=args.palette_algorithm,
+        max_crops_per_image=args.max_crops_per_image,
+        workers=args.workers or max(1, (os.cpu_count() or 2) - 1),
+        cache_dir=args.cache_dir,
+        assume_yes=not args.interactive,
+        verbose=args.verbose,
+    )
+    stats = DatasetGenerator(cfg).run()
+    return 0 if stats["missing"] == 0 or stats["stopped"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,128 @@
+"""The deployed enhance artifact: jitted uint8-RGBA-chunky frame function.
+
+What the reference assembles by hand-stitching 29 ONNX graph nodes
+(convertion_tools/torch2onnx.py:184-768 — transpose, alpha slice, crop-16,
+cast, /255, pow 2.2, CNN, pow 1/2.2, x255, clip, cast, pad-16, alpha pad,
+transpose) is here ~30 lines of traced JAX around the model function, compiled
+by XLA into a single fused TPU program.
+
+Contract (README.md:5, torch2onnx.py:749-756):
+    uint8 (576, 752, 4) RGBA chunky -> uint8 (576, 752, 4) RGBA chunky.
+
+Two crop modes:
+- ``crop_left=16`` (current reference torch2onnx behaviour): model sees
+  736x576; 16 black columns are padded back on the left.
+- ``crop_left=0`` (shipped pix_shuffle.onnx behaviour): full 752 width.
+
+Performance notes (TPU-first):
+- compute in bf16 by default (fp16 is a GPU-ism; bf16 is the MXU native
+  format), fp32 island for the gamma pow chain to preserve >=50 dB parity.
+- batch dim is kept (N frames) so the same artifact serves batched offline
+  enhancement; deployment uses N=1.
+- donate the input buffer: at 60 fps the frame upload is the only host<->HBM
+  traffic, and XLA reuses the buffer in place.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .. import CROP_LEFT, FRAME_H, FRAME_W
+
+
+def make_enhance_fn(
+    model_apply: Callable,
+    params,
+    *,
+    crop_left: int = CROP_LEFT,
+    compute_dtype=jnp.bfloat16,
+    srgb_domain: bool = False,
+    srgb_to_linear_exponent: float = 2.2,
+    linear_to_srgb_exponent: float = 1.0 / 2.2,
+    donate: bool = True,
+    jit: bool = True,
+):
+    """Build ``enhance(frames_u8) -> frames_u8`` over NHWC uint8 RGBA batches.
+
+    ``model_apply(params, x)`` must map NHWC float -> NHWC float at the same
+    spatial size. ``srgb_domain=True`` skips the gamma pair (conv3/conv5-style
+    sRGB-domain models, whose shipped graphs carry no pow nodes).
+    """
+
+    def enhance(frames: jnp.ndarray) -> jnp.ndarray:
+        if frames.dtype != jnp.uint8 or frames.shape[-1] != 4:
+            raise ValueError(
+                f"enhance expects uint8 RGBA NHWC frames, got {frames.dtype} {frames.shape}"
+            )
+        n, h, w, _ = frames.shape
+        rgb = frames[..., :3]
+        if crop_left:
+            rgb = rgb[:, :, crop_left:, :]
+        # uint8 -> [0,1] fp32 island for the gamma pow (bf16 pow costs ~2 dB)
+        x = rgb.astype(jnp.float32) / 255.0
+        if not srgb_domain:
+            x = x ** srgb_to_linear_exponent
+        y = model_apply(params, x.astype(compute_dtype))
+        y = y.astype(jnp.float32)
+        if not srgb_domain:
+            y = jnp.clip(y, 0.0, None) ** linear_to_srgb_exponent
+        y = jnp.clip(y * 255.0, 0.0, 255.0)
+        out = y.astype(jnp.uint8)
+        if crop_left:
+            out = jnp.pad(out, ((0, 0), (0, 0), (crop_left, 0), (0, 0)))
+        alpha = jnp.full(out.shape[:-1] + (1,), 255, jnp.uint8)
+        return jnp.concatenate([out, alpha], axis=-1)
+
+    if jit:
+        return jax.jit(enhance, donate_argnums=(0,) if donate else ())
+    return enhance
+
+
+def default_enhance_fn(variant: str = "lightweight", seed: int = 0, **kwargs):
+    """Enhance fn over a freshly initialized production pix_shuffle model."""
+    from ..models import get_model
+
+    m = get_model("pix_shuffle", variant)
+    params = m.init(jax.random.key(seed))
+    return make_enhance_fn(m.apply, params, **kwargs), params
+
+
+def enhance_from_onnx(path: str, **kwargs):
+    """Enhance fn with weights imported from a shipped reference artifact,
+    reproducing that artifact's exact wrapper contract."""
+    from ..models import get_model
+    from .onnx_import import import_any
+
+    imp = import_any(path)
+    if imp.kind == "pix_shuffle":
+        m = get_model("pix_shuffle")
+        return make_enhance_fn(
+            m.apply,
+            imp.params,
+            crop_left=0,  # shipped artifact predates crop-16
+            srgb_to_linear_exponent=imp.srgb_to_linear_exponent,
+            linear_to_srgb_exponent=imp.linear_to_srgb_exponent,
+            **kwargs,
+        )
+    # conv_stack deployed graphs: sRGB domain, relu-before-add fused semantics
+    from ..models.conv_stack import apply_fused
+    from ..models.configs import ConvStackConfig
+
+    cfg = ConvStackConfig(
+        channels=tuple(
+            imp.params[f"conv{i + 1}"]["w"].shape[-1]
+            for i in range(imp.num_conv_layers)
+        ),
+        residual_layers=imp.residual_layers,
+        final_act="none",
+    )
+    return make_enhance_fn(
+        functools.partial(apply_fused, cfg=cfg),
+        imp.params,
+        crop_left=0,
+        srgb_domain=True,
+        **kwargs,
+    )

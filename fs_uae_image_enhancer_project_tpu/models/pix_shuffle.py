@@ -109,7 +109,10 @@ def init(key: jax.Array, cfg: PixShuffleConfig) -> Params:
 def _acts(params: Params, cfg: PixShuffleConfig, li: int, slots, x):
     for si in slots:
         spec: ActSpec = cfg.layers[li - 1].acts[si - 1]
-        x = apply_activation(spec[0], params[f"l{li}_act{si}"], x, act_config(spec))
+        # .get: parameter-free slots may be absent from imported pytrees
+        x = apply_activation(
+            spec[0], params.get(f"l{li}_act{si}", {}), x, act_config(spec)
+        )
     return x
 
 

@@ -56,9 +56,14 @@ def conv2d(
     x: jnp.ndarray,
     *,
     padding: str = "SAME",
-    accum_dtype=jnp.float32,
 ) -> jnp.ndarray:
-    """Stride-1 NHWC conv with optional bias; fp32 MXU accumulation."""
+    """Stride-1 NHWC conv with optional bias.
+
+    Output dtype matches input dtype. XLA's TPU lowering accumulates bf16
+    convolutions in fp32 on the MXU regardless, so no explicit
+    preferred_element_type is needed (and specifying one that differs from
+    the input dtype breaks the conv transpose rule under jax.grad).
+    """
     w = params["w"].astype(x.dtype)
     y = lax.conv_general_dilated(
         x,
@@ -66,11 +71,10 @@ def conv2d(
         window_strides=(1, 1),
         padding=padding,
         dimension_numbers=DIMENSION_NUMBERS,
-        preferred_element_type=accum_dtype,
         # Full input precision: fp32 inputs multiply in fp32 (not split bf16);
         # bf16 inputs still take the fast MXU path with fp32 accumulation.
         precision=lax.Precision.HIGHEST,
-    ).astype(x.dtype)
+    )
     b = params.get("b")
     if b is not None:
         y = y + b.astype(y.dtype)
@@ -95,9 +99,8 @@ def depthwise_conv2d(
         padding=padding,
         dimension_numbers=DIMENSION_NUMBERS,
         feature_group_count=c,
-        preferred_element_type=jnp.float32,
         precision=lax.Precision.HIGHEST,
-    ).astype(x.dtype)
+    )
 
 
 def init_batchnorm(c: int, dtype=jnp.float32) -> Params:

@@ -1,0 +1,15 @@
+from .mesh import (  # noqa: F401
+    batch_sharding,
+    make_mesh,
+    replicate,
+    replicated,
+    shard_batch,
+)
+from .train_step import (  # noqa: F401
+    TrainState,
+    init_train_state,
+    make_optimizer,
+    make_train_step,
+    merge_bn_buffers,
+    split_bn_buffers,
+)

@@ -1,0 +1,77 @@
+"""Multi-chip dry run: compile and execute one FULL training step on an
+n-device mesh with real (dp, sp) shardings, on tiny shapes.
+
+Used by __graft_entry__.dryrun_multichip (the driver runs it with N virtual
+CPU devices) and by tests/test_parallel.py on the 8-device CPU mesh.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..losses.perceptual import build_criterion
+from ..models import get_model
+from .mesh import make_mesh, replicate, shard_batch
+from .train_step import init_train_state, make_optimizer, make_train_step
+
+
+def run_dryrun(
+    n_devices: int,
+    *,
+    micro: int = 2,
+    per_micro: int = None,
+    height: int = 48,
+    width: int = 64,
+    verbose: bool = False,
+) -> float:
+    """One real pix_shuffle training step (perceptual loss incl. VGG branch,
+    grad accumulation scan, Adam update) sharded dp x sp. Returns the loss."""
+    n_avail = len(jax.devices())
+    if n_avail < n_devices:
+        raise RuntimeError(
+            f"dryrun needs {n_devices} devices, found {n_avail}; set "
+            "XLA_FLAGS=--xla_force_host_platform_device_count"
+        )
+    sp = 2 if n_devices % 2 == 0 and n_devices >= 2 else 1
+    mesh = make_mesh(n_devices, sp=sp)
+    dp = n_devices // sp
+    if per_micro is None:
+        per_micro = dp  # one sample per dp shard
+
+    m = get_model("pix_shuffle", "lightweight")
+    params = m.init(jax.random.key(0))
+    criterion = build_criterion(m.loss)
+    optimizer = make_optimizer(lr=1e-3, steps_per_epoch=10)
+    state = init_train_state(params, optimizer)
+    train_step = make_train_step(m.apply, criterion, optimizer, mesh=mesh)
+
+    rng = np.random.default_rng(0)
+    lr_b = jnp.asarray(
+        rng.uniform(0, 1, (micro, per_micro, height, width, 3)).astype(np.float32)
+    )
+    hr_b = jnp.asarray(
+        rng.uniform(0, 1, (micro, per_micro, height, width, 3)).astype(np.float32)
+    )
+
+    state = replicate(mesh, state)
+    # micro axis unsharded; per-micro batch over dp; height over sp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    bspec = NamedSharding(mesh, P(None, "dp", "sp"))
+    lr_b = jax.device_put(lr_b, bspec)
+    hr_b = jax.device_put(hr_b, bspec)
+
+    step = jax.jit(train_step, donate_argnums=(0,))
+    new_state, loss = step(state, lr_b, hr_b)
+    jax.block_until_ready(new_state.params)
+    loss_val = float(loss)
+    if verbose:
+        print(
+            f"dryrun ok: mesh dp={dp} sp={sp}, loss={loss_val:.5f}, "
+            f"step={int(new_state.step)}"
+        )
+    if not np.isfinite(loss_val):
+        raise RuntimeError(f"dryrun produced non-finite loss: {loss_val}")
+    return loss_val

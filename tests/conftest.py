@@ -2,17 +2,17 @@
 
 Tests run on CPU so they are hermetic and fast, and so multi-chip sharding
 logic (parallel/) is exercised on a virtual 8-device mesh exactly as the
-driver's dryrun does. Must set env BEFORE jax initializes a backend.
+driver's dryrun does.
+
+NOTE: this environment's sitecustomize imports jax at interpreter startup to
+register the remote-TPU ("axon") PJRT plugin, so mutating JAX_PLATFORMS here
+is too late — use jax.config.update instead (backends are still lazy at
+conftest-import time).
 """
 import os
 import sys
 
-os.environ["JAX_PLATFORMS"] = "cpu"  # force: the env presets a TPU platform
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"  # for any subprocesses we spawn
 
 # Make the repo root importable regardless of how pytest is invoked.
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -21,6 +21,8 @@ if _REPO_ROOT not in sys.path:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", False)
 
 import pytest  # noqa: E402
@@ -29,5 +31,5 @@ import pytest  # noqa: E402
 @pytest.fixture(scope="session")
 def devices8():
     devs = jax.devices()
-    assert len(devs) >= 8, f"expected 8 virtual CPU devices, got {len(devs)}"
+    assert len(devs) >= 8, f"expected 8 virtual CPU devices, got {devs}"
     return devs[:8]

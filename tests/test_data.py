@@ -1,0 +1,105 @@
+"""Data layer tests: codec round trips, gathering, dataset iteration."""
+import os
+
+import numpy as np
+import pytest
+
+from fs_uae_image_enhancer_project_tpu.data import (
+    SRDataset,
+    construct_filename,
+    gather_all_samples_from_directory,
+    parse_generated_filename,
+    split_pairs,
+)
+
+
+def test_codec_target_roundtrip():
+    params = {"crop_x": -16, "crop_y": 32, "scale_perc": 70, "rot_deg": 20}
+    fn = construct_filename(params, is_target=True)
+    assert fn == "target_-16_32_s70_r20.png"
+    parsed = parse_generated_filename(fn)
+    assert parsed["type"] == "target"
+    for k, v in params.items():
+        assert parsed[k] == v
+
+
+@pytest.mark.parametrize("pal", [32, None])
+@pytest.mark.parametrize("dither", ["floyd-steinberg", "none", "bayer4x4"])
+def test_codec_styled_roundtrip(pal, dither):
+    params = {
+        "crop_x": 0, "crop_y": -8, "scale_perc": 100, "rot_deg": 0,
+        "resolution": "lores", "rgb": "RGB444", "pal": pal, "dither": dither,
+    }
+    fn = construct_filename(params, is_target=False)
+    parsed = parse_generated_filename(fn)
+    assert parsed["type"] == "style"
+    assert parsed["resolution"] == "lores"
+    assert parsed["rgb"] == "RGB444"
+    assert parsed["pal"] == pal
+    assert parsed["dither"] == dither
+    assert parsed["style_name"] == fn.rsplit("r0_", 1)[1][:-4]
+
+
+def test_codec_rejects_garbage():
+    assert parse_generated_filename("notes.txt") is None
+    assert parse_generated_filename("random.png") is None
+    assert parse_generated_filename("target_1_2.png") is None
+    with pytest.raises(ValueError):
+        construct_filename({"crop_x": 1}, is_target=True)
+
+
+def _make_tree(root, w=8, h=8):
+    from PIL import Image
+
+    d = os.path.join(root, "train", "img1")
+    os.makedirs(d)
+    rng = np.random.default_rng(0)
+
+    def save(name):
+        arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(os.path.join(d, name))
+
+    save("target_0_0_s100_r0.png")
+    save("lores_0_0_s100_r0_rgb444_p32_dfloyd-steinberg.png")
+    save("lores_0_0_s100_r0_rgb888_pNone_dnone.png")
+    # location without target: must be ignored
+    save("lores_4_4_s100_r0_rgb444_p32_dnone.png")
+    return os.path.join(root, "train")
+
+
+def test_gather_and_style_filter(tmp_path):
+    train_dir = _make_tree(str(tmp_path))
+    pairs = gather_all_samples_from_directory(train_dir, (8, 8), verbose=0)
+    assert len(pairs) == 2
+    only444 = gather_all_samples_from_directory(
+        train_dir, (8, 8), styles_to_include={"rgb444"}, verbose=0
+    )
+    assert len(only444) == 1
+    # wrong crop size: target validation rejects everything
+    assert gather_all_samples_from_directory(train_dir, (16, 16), verbose=0) == []
+
+
+def test_split_pairs_guards():
+    pairs = [(f"a{i}", f"b{i}") for i in range(10)]
+    tr, va = split_pairs(pairs, 0.2, seed=1)
+    assert len(tr) == 8 and len(va) == 2
+    tr, va = split_pairs(pairs[:1], 0.5)
+    assert len(tr) == 1 and len(va) == 0
+
+
+def test_srdataset_iteration(tmp_path):
+    train_dir = _make_tree(str(tmp_path))
+    pairs = gather_all_samples_from_directory(train_dir, (8, 8), verbose=0)
+    ds = SRDataset(pairs, (8, 8), num_samples=6, batch_size=2, seed=3)
+    batches = list(ds)
+    assert len(batches) == 3
+    lr, hr = batches[0]
+    assert lr.shape == (2, 8, 8, 3) and hr.shape == (2, 8, 8, 3)
+    assert lr.dtype == np.float32
+    assert lr.min() >= 0.0 and lr.max() <= 1.0
+
+
+def test_srdataset_empty_pool_raises():
+    ds = SRDataset([], (8, 8), num_samples=2)
+    with pytest.raises(IndexError):
+        next(iter(ds))

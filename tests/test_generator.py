@@ -1,0 +1,167 @@
+"""Dataset generator end-to-end tests: idempotence, spec-diff resume, orphan
+cleanup, geometry utilities, scan cache."""
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from fs_uae_image_enhancer_project_tpu.datagen.cache import ScanCache
+from fs_uae_image_enhancer_project_tpu.datagen.generator import (
+    DatasetGenerator,
+    GeneratorConfig,
+)
+from fs_uae_image_enhancer_project_tpu.datagen.util_img import (
+    apply_downscaling,
+    apply_rotation,
+    calculate_grid_coords,
+    get_crop_and_pad,
+    post_apply_resolution_style,
+    pre_apply_resolution_style,
+    should_discard_by_black_ratio,
+)
+
+
+def _write_source(path, w=64, h=48):
+    rng = np.random.default_rng(5)
+    arr = rng.integers(30, 256, (h, w, 3), dtype=np.uint8)  # non-black
+    Image.fromarray(arr).save(path)
+
+
+@pytest.fixture
+def source_tree(tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_source(str(src / "img_a.png"))
+    return tmp_path
+
+
+def _cfg(tmp_path, **kw):
+    defaults = dict(
+        train_images=[str(tmp_path / "src")],
+        dest_dir=str(tmp_path / "out"),
+        crop_w=32, crop_h=24,
+        resolutions=("lores",),
+        colorspaces=("RGB444",),
+        palettes=(8,),
+        dithers=("bayer2x2",),
+        rotations=(0,),
+        downscales=(100,),
+        palette_algorithm="median_cut",
+        workers=1,
+        cache_dir=str(tmp_path / "cache"),
+        verbose=0,
+    )
+    defaults.update(kw)
+    return GeneratorConfig(**defaults)
+
+
+def test_generator_end_to_end_and_idempotence(source_tree):
+    cfg = _cfg(source_tree)
+    gen = DatasetGenerator(cfg)
+    stats = gen.run()
+    assert stats["missing"] == 0
+    assert stats["generated_this_run"] > 0
+    first_total = stats["expected"]
+
+    # second run: nothing new to generate (idempotence)
+    stats2 = DatasetGenerator(cfg).run()
+    assert stats2["generated_this_run"] == 0
+    assert stats2["expected"] == first_total
+
+    # filenames parse and pair: gatherer finds styled/target pairs
+    from fs_uae_image_enhancer_project_tpu.data import gather_all_samples_from_directory
+
+    pairs = gather_all_samples_from_directory(
+        os.path.join(cfg.dest_dir, "train"), (32, 24), verbose=0
+    )
+    assert len(pairs) > 0
+
+
+def test_generator_resumes_after_deletion(source_tree):
+    cfg = _cfg(source_tree)
+    DatasetGenerator(cfg).run()
+    # delete one generated file: next run regenerates exactly it
+    train_dir = os.path.join(cfg.dest_dir, "train", "img_a")
+    victim = sorted(os.listdir(train_dir))[0]
+    os.remove(os.path.join(train_dir, victim))
+    stats = DatasetGenerator(cfg).run()
+    assert stats["generated_this_run"] == 1
+    assert stats["missing"] == 0
+
+
+def test_generator_removes_orphans(source_tree):
+    cfg = _cfg(source_tree)
+    DatasetGenerator(cfg).run()
+    train_dir = os.path.join(cfg.dest_dir, "train", "img_a")
+    # plant an orphan with a valid-looking spec not in the active space
+    orphan = os.path.join(train_dir, "hires_0_0_s100_r0_rgb565_p64_dnone.png")
+    Image.new("RGB", (32, 24)).save(orphan)
+    DatasetGenerator(cfg).run()
+    assert not os.path.exists(orphan)
+
+
+def test_scan_cache_mtime_invalidation(tmp_path):
+    src = tmp_path / "img.png"
+    _write_source(str(src))
+    cache = ScanCache(str(tmp_path / "c"))
+    key = ScanCache.make_key(str(src), 0, 100)
+    assert cache.get(key, str(src)) is None
+    cache.put(key, str(src), [[1, 2]])
+    assert cache.get(key, str(src)) == [[1, 2]]
+    os.utime(str(src), (1, 1))  # mtime change invalidates
+    assert cache.get(key, str(src)) is None
+
+
+# --- geometry utilities -----------------------------------------------------
+
+def test_crop_and_pad_negative_coords():
+    img = Image.new("RGB", (10, 10), (200, 100, 50))
+    out = get_crop_and_pad(img, -4, -4, 8, 8)
+    arr = np.asarray(out)
+    assert arr.shape == (8, 8, 3)
+    np.testing.assert_array_equal(arr[0, 0], [0, 0, 0])  # padded corner
+    np.testing.assert_array_equal(arr[7, 7], [200, 100, 50])
+
+
+def test_black_ratio():
+    img = Image.new("RGB", (10, 10), (0, 0, 0))
+    assert should_discard_by_black_ratio(img)
+    arr = np.zeros((10, 10, 3), np.uint8)
+    arr[:5] = 255  # 50% black < 75% threshold
+    assert not should_discard_by_black_ratio(Image.fromarray(arr))
+
+
+def test_rotation_and_downscale():
+    img = Image.new("RGB", (20, 20), (10, 20, 30))
+    assert apply_rotation(img, 0).size == (20, 20)
+    assert apply_rotation(img, 45).size == (20, 20)
+    assert apply_downscaling(img, 50).size == (10, 10)
+    with pytest.warns(UserWarning):
+        assert apply_downscaling(img, 100).size == (20, 20)
+
+
+@pytest.mark.parametrize(
+    "style,pre_size,post_restores",
+    [
+        ("lores", (16, 12), True),
+        ("lores_laced", (16, 24), True),
+        ("hires", (32, 12), True),
+        ("hires_laced", (32, 24), True),
+    ],
+)
+def test_resolution_styles(style, pre_size, post_restores):
+    img = Image.new("RGB", (32, 24))
+    low = pre_apply_resolution_style(img, style)
+    assert low.size == pre_size
+    restored = post_apply_resolution_style(low, style)
+    assert restored.size == (32, 24)
+
+
+def test_grid_coords_cover_image():
+    coords = calculate_grid_coords(100, 80, 32, 24)
+    assert len(coords) >= 4 * 4
+    xs = [c[0] for c in coords]
+    ys = [c[1] for c in coords]
+    assert min(xs) <= 0 and max(xs) + 32 >= 100
+    assert min(ys) <= 0 and max(ys) + 24 >= 80

@@ -1,0 +1,175 @@
+"""Model zoo structural tests: shapes, analytic parameter counts (pinned to
+the reference's published counts, BASELINE.md), jit-ability, contracts."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fs_uae_image_enhancer_project_tpu.models import (
+    blocks,
+    count_params,
+    get_model,
+)
+from fs_uae_image_enhancer_project_tpu.models.conv_stack import (
+    apply_fused,
+    apply_uint8_rgba,
+    fuse,
+)
+
+KEY = jax.random.key(0)
+
+
+# Reference analytic parameter counts (BASELINE.md; model_conv3.py:206-211,
+# model_conv5.py:157-162, model_pix_shuffle.py:304-314)
+@pytest.mark.parametrize(
+    "name,variant,expected",
+    [
+        ("conv3", "lightweight", 21_222),
+        ("conv3", "heavyweight", 455_366),
+        ("conv5", "lightweight", 67_494),
+        ("conv5", "heavyweight", 264_006),
+        ("pix_shuffle", "lightweight", 136_602),
+    ],
+)
+def test_param_counts_match_reference(name, variant, expected):
+    m = get_model(name, variant)
+    params = m.init(KEY)
+    # batchnorm running stats are buffers, not trainable params, in torch
+    trainable = {
+        k: ({kk: vv for kk, vv in v.items() if kk not in ("mean", "var")}
+            if k.startswith("bn") else v)
+        for k, v in params.items()
+    }
+    assert count_params(trainable) == expected
+
+
+@pytest.mark.parametrize("alias", ["conv3_heavy", "pix_shuffle_heavy"])
+def test_heavy_aliases(alias):
+    m = get_model(alias)
+    assert m.variant == "heavyweight"
+
+
+def test_pix_shuffle_forward_shape_and_jit():
+    m = get_model("pix_shuffle")
+    params = m.init(KEY)
+    x = jax.random.uniform(KEY, (1, 64, 96, 3), jnp.float32)
+    y = jax.jit(m.apply)(params, x)
+    assert y.shape == x.shape
+    assert np.all(np.asarray(y) >= 0.0)  # final ReLU (model_pix_shuffle.py:296)
+
+
+def test_pix_shuffle_global_residual():
+    # zero the last conv: output must equal relu(identity) = input (inputs >= 0)
+    m = get_model("pix_shuffle")
+    params = m.init(KEY)
+    params["conv7"] = {
+        "w": jnp.zeros_like(params["conv7"]["w"]),
+        "b": jnp.zeros_like(params["conv7"]["b"]),
+    }
+    # layer-7 acts are identity & biased_prelu — biased_prelu(0) is a constant
+    # per-image offset, so compare against that analytic value instead of 0
+    x = jax.random.uniform(jax.random.key(1), (1, 8, 8, 3), jnp.float32)
+    y = m.apply(params, x)
+    bias = float(params["l7_act2"]["bias"][0])
+    slope = float(params["l7_act2"]["slope"][0])
+    resid = -bias if -bias >= 0 else slope * -bias
+    expected = np.maximum(np.asarray(x) + resid, 0.0)  # final ReLU
+    np.testing.assert_allclose(np.asarray(y), expected, atol=1e-5)
+
+
+@pytest.mark.parametrize("name", ["conv3", "conv5"])
+def test_conv_stack_forward_and_fuse(name):
+    m = get_model(name)
+    params = m.init(KEY)
+    x = jax.random.uniform(KEY, (2, 16, 24, 3), jnp.float32)
+    y = m.apply(params, x)
+    assert y.shape == (2, 16, 24, 3)
+    if name == "conv5":  # Sigmoid output (model_conv5.py:64)
+        assert np.all((np.asarray(y) >= 0) & (np.asarray(y) <= 1))
+    # fused form must match inference-mode unfused forward
+    fused = fuse(params, m.config)
+    y_fused = apply_fused(fused, x, m.config)
+    np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y), atol=2e-5)
+
+
+def test_conv_stack_train_mode_returns_stats():
+    m = get_model("conv3")
+    params = m.init(KEY)
+    x = jax.random.uniform(KEY, (2, 8, 8, 3), jnp.float32)
+    y, new_stats = m.apply(params, x, train=True)
+    assert y.shape == x.shape
+    assert set(new_stats) == {"bn1", "bn2", "bn3"}
+
+
+def test_conv3_uint8_rgba_contract():
+    m = get_model("conv3")
+    fused = fuse(m.init(KEY), m.config)
+    x = jax.random.randint(KEY, (1, 16, 16, 4), 0, 256, jnp.uint8)
+    y = apply_uint8_rgba(fused, x, m.config)
+    assert y.shape == (1, 16, 16, 4)
+    np.testing.assert_array_equal(np.asarray(y[..., 3]), 255.0)
+    with pytest.raises(ValueError):  # contract check (model_conv3.py:109-110)
+        apply_uint8_rgba(fused, x.astype(jnp.float32), m.config)
+
+
+def test_conv6_forward_shape():
+    m = get_model("conv6")
+    params = m.init(KEY)
+    x = jax.random.uniform(KEY, (1, 16, 16, 3), jnp.float32)
+    y = jax.jit(m.apply)(params, x)
+    assert y.shape == x.shape
+    assert np.all(np.asarray(y) >= 0.0)
+
+
+def test_residual_unet_forward_shape():
+    m = get_model("residual_unet")  # depth 3 -> needs /8 dims
+    params = m.init(KEY)
+    x = jax.random.uniform(KEY, (1, 48, 64, 3), jnp.float32)
+    y = m.apply(params, x)
+    assert y.shape == x.shape
+    with pytest.raises(ValueError):
+        m.apply(params, jax.random.uniform(KEY, (1, 50, 64, 3)))
+
+
+def test_feature_block_projection_paths():
+    acts = blocks.DEFAULT_BLOCK_ACTS
+    # same in/out: no projection
+    p = blocks.init_feature_block(KEY, 8, 12, 8, 3, acts)
+    assert "proj" not in p
+    x = jax.random.uniform(KEY, (1, 8, 8, 8), jnp.float32)
+    assert blocks.apply_feature_block(p, x, acts, 12, 8).shape == (1, 8, 8, 8)
+    # different in/out: projection present
+    p2 = blocks.init_feature_block(KEY, 8, 12, 16, 3, acts)
+    assert "proj" in p2
+    assert blocks.apply_feature_block(p2, x, acts, 12, 16).shape == (1, 8, 8, 16)
+
+
+def test_feature_block_channel_global_resolution():
+    acts = (
+        ("prelu", (("num_parameters", "channel"),)),
+        ("relu", ()),
+        ("prelu", (("num_parameters", "global"),)),
+        ("relu", ()),
+    )
+    p = blocks.init_feature_block(KEY, 8, 12, 16, 3, acts)
+    assert p["act1"]["slope"].shape == (12,)  # mid channels
+    assert p["act3"]["slope"].shape == (1,)  # global
+
+
+def test_dense_block_and_triplet_attention():
+    p = blocks.init_dense_block(KEY, 16, growth=8, num_layers=3, use_attention=True)
+    x = jax.random.uniform(KEY, (1, 8, 8, 16), jnp.float32)
+    y = blocks.apply_dense_block(p, x, num_layers=3)
+    assert y.shape == x.shape
+    pa = blocks.init_triplet_attention(KEY)
+    ya = blocks.apply_triplet_attention(pa, x)
+    assert ya.shape == x.shape
+
+
+def test_config_json_roundtrip():
+    from fs_uae_image_enhancer_project_tpu.models import config_from_json, config_to_json
+    m = get_model("pix_shuffle")
+    s = config_to_json(m.config)
+    cfg2 = config_from_json(s)
+    assert cfg2 == m.config

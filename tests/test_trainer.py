@@ -1,0 +1,129 @@
+"""Trainer tests: end-to-end tiny training run, CSV resume semantics,
+checkpoint round trip, sample rendering."""
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax
+
+from fs_uae_image_enhancer_project_tpu.data import (
+    SRDataset,
+    gather_all_samples_from_directory,
+    split_pairs,
+)
+from fs_uae_image_enhancer_project_tpu.models import get_model
+from fs_uae_image_enhancer_project_tpu.parallel.train_step import (
+    init_train_state,
+    make_optimizer,
+)
+from fs_uae_image_enhancer_project_tpu.train.trainer import (
+    Trainer,
+    TrainerConfig,
+    load_checkpoint,
+    load_last_epoch_and_checkpoint,
+    save_checkpoint,
+    save_training_stats,
+)
+
+
+@pytest.fixture
+def tiny_dataset(tmp_path):
+    """A 2-location generated tree with 16x16 crops."""
+    rng = np.random.default_rng(0)
+    d = tmp_path / "train" / "img1"
+    d.mkdir(parents=True)
+    for loc in ((0, 0), (8, 8)):
+        base = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+        Image.fromarray(base).save(
+            d / f"target_{loc[0]}_{loc[1]}_s100_r0.png"
+        )
+        degraded = (base // 32) * 32
+        Image.fromarray(degraded).save(
+            d / f"lores_{loc[0]}_{loc[1]}_s100_r0_rgb444_p32_dnone.png"
+        )
+    return str(tmp_path / "train")
+
+
+def test_csv_resume_roundtrip(tmp_path):
+    csv_file = str(tmp_path / "training_stats_x.csv")
+    assert load_last_epoch_and_checkpoint(0.01, csv_file) == (
+        0, float("inf"), 0, 0, 0.01, None,
+    )
+    save_training_stats(csv_file, 1, 0.5, 0.4, 0, 0.001, "ckpt1")
+    save_training_stats(csv_file, 2, 0.45, 0.42, 1, 0.00095, "ckpt2")
+    last, best, best_ep, ni, lr, path = load_last_epoch_and_checkpoint(0.01, csv_file)
+    assert last == 2 and best == 0.4 and best_ep == 1
+    assert ni == 1 and lr == 0.00095 and path == "ckpt2"
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    m = get_model("pix_shuffle")
+    params = m.init(jax.random.key(0))
+    opt = make_optimizer(lr=1e-3)
+    state = init_train_state(params, opt)
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(path, state)
+    template = init_train_state(m.init(jax.random.key(1)), opt)
+    restored = load_checkpoint(path, template)
+    np.testing.assert_array_equal(
+        np.asarray(restored.params["conv1"]["w"]),
+        np.asarray(state.params["conv1"]["w"]),
+    )
+    assert restored.buffers == {}
+
+
+def test_trainer_end_to_end_and_resume(tiny_dataset, tmp_path):
+    m = get_model("pix_shuffle")
+    import dataclasses
+    m = m._replace(loss=dataclasses.replace(m.loss, vgg_weight=0.0))
+    pairs = gather_all_samples_from_directory(tiny_dataset, (16, 16), verbose=0)
+    assert len(pairs) == 2
+    train_pool, val_pool = split_pairs(pairs, 0.5)
+    samples_dir = str(tmp_path / "samples")
+    os.makedirs(samples_dir)
+    Image.fromarray(
+        np.random.default_rng(1).integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    ).save(os.path.join(samples_dir, "s0.png"))
+
+    ckpt_dir = str(tmp_path / "ckpts")
+    cfg = TrainerConfig(
+        num_epochs=2, lr=1e-3, batch_size=2, accumulation_steps=2,
+        checkpoint_interval=1, checkpoint_dir=ckpt_dir,
+        samples_dir=samples_dir, verbose=0,
+    )
+    tr = Trainer(m, cfg)
+    train_ds = SRDataset(train_pool, (16, 16), num_samples=8, batch_size=2)
+    val_ds = SRDataset(val_pool, (16, 16), num_samples=4, batch_size=2, flips=False)
+    best_val, best_epoch, _ = tr.train(train_ds, val_ds)
+    assert np.isfinite(best_val) and best_epoch >= 1
+    assert os.path.isfile(os.path.join(ckpt_dir, "training_stats_pix_shuffle.csv"))
+    assert os.path.isdir(os.path.join(ckpt_dir, "checkpoint_best_pix_shuffle"))
+    assert os.path.isfile(os.path.join(ckpt_dir, "predicted", "s0.png"))
+
+    # resume: epoch counter continues from the CSV, no retraining of epoch<=2
+    cfg3 = dataclasses.replace(cfg, num_epochs=3)
+    tr2 = Trainer(m, cfg3)
+    best_val2, _, _ = tr2.train(train_ds, val_ds)
+    import csv as csvmod
+
+    with open(os.path.join(ckpt_dir, "training_stats_pix_shuffle.csv")) as f:
+        rows = list(csvmod.reader(f))[1:]
+    epochs = [int(r[0]) for r in rows]
+    assert max(epochs) == 3
+    assert sorted(set(epochs)) == epochs  # no duplicate epoch rows
+
+
+def test_trainer_batchnorm_model(tiny_dataset, tmp_path):
+    import dataclasses
+    m = get_model("conv3")
+    m = m._replace(loss=dataclasses.replace(m.loss, vgg_weight=0.0))
+    pairs = gather_all_samples_from_directory(tiny_dataset, (16, 16), verbose=0)
+    cfg = TrainerConfig(
+        num_epochs=1, batch_size=1, accumulation_steps=2,
+        checkpoint_dir=str(tmp_path / "c3"), verbose=0,
+    )
+    train_ds = SRDataset(pairs, (16, 16), num_samples=4, linear=False)
+    best_val, _, _ = Trainer(m, cfg).train(train_ds, None)
+    assert np.isfinite(best_val)
