@@ -1,0 +1,83 @@
+#!/usr/bin/env python3
+"""Conv2d latency + analytic GFLOPs grid over kernel sizes and channels.
+
+Counterpart of reference benchmark_tools/benchmark_kernel_sizes.py
+(kernel {1,2,3,4,5,7} x channel grid at the deployment shape): informs model
+design about which kernel/channel combinations the MXU executes at equal
+cost. Chained timing (see bench.py).
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fs_uae_image_enhancer_project_tpu.ops.conv import conv2d, init_conv
+
+KERNELS = [1, 3, 5, 7]
+CHANNELS = [12, 24, 36, 48, 72, 96, 144]
+
+
+def analytic_gflops(h, w, cin, cout, k):
+    return 2.0 * h * w * cin * cout * k * k / 1e9
+
+
+def time_conv(cin, cout, k, h, w, dtype, duration_s=1.0):
+    params = init_conv(jax.random.key(0), cin, cout, k)
+    fwd = jax.jit(lambda x: conv2d(params, x))
+    x = jnp.zeros((1, h, w, cin), dtype)
+    y = fwd(x)
+    _ = np.asarray(y).ravel()[0]
+    # chained timing requires cout == cin; otherwise ping-pong two convs
+    if cin == cout:
+        chain = fwd
+    else:
+        params_back = init_conv(jax.random.key(1), cout, cin, k)
+        back = jax.jit(lambda y: conv2d(params_back, y))
+        chain = lambda x: back(fwd(x))  # noqa: E731
+    n = 0
+    acc = x
+    t0 = time.perf_counter()
+    while time.perf_counter() - t0 < duration_s:
+        for _ in range(10):
+            acc = chain(acc)
+        _ = np.asarray(acc).ravel()[0]
+        n += 10
+    per_call = (time.perf_counter() - t0) / n
+    if cin != cout:
+        per_call /= 2.0  # chain ran two convs per step
+    return per_call * 1e3  # ms
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--shape", type=int, nargs=2, default=[288, 376],
+                    metavar=("H", "W"))
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--duration", type=float, default=1.0)
+    args = ap.parse_args()
+    h, w = args.shape
+    dtype = jnp.dtype(args.dtype)
+    rows = []
+    for k in KERNELS:
+        for c in CHANNELS:
+            ms = time_conv(c, c, k, h, w, dtype, args.duration)
+            gf = analytic_gflops(h, w, c, c, k)
+            rows.append({
+                "kernel": k, "channels": c, "ms": round(ms, 4),
+                "gflops": round(gf, 3),
+                "achieved_tflops": round(gf / ms, 2),
+            })
+            print(rows[-1], flush=True)
+    print(json.dumps({"shape": [h, w], "dtype": args.dtype, "rows": rows}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,56 @@
+"""FPS measurement cache keyed by canonical architecture config.
+
+Counterpart of the reference's ``model_performance_cache.json``
+(optuna_study_opt_act.py:16-39): identical architectures across trials and
+studies reuse the measured FPS instead of re-running the 20-second protocol;
+failed measurements are stored as 0.0 so broken configs are not re-measured
+(optuna_study_opt_act.py:196-198).
+"""
+from __future__ import annotations
+
+import json
+import os
+import threading
+from typing import Any, Callable, Dict, Optional
+
+
+class FPSCache:
+    def __init__(self, path: str = "model_performance_cache.json"):
+        self.path = path
+        self._lock = threading.Lock()
+        self._data: Dict[str, float] = {}
+        if os.path.isfile(path):
+            try:
+                with open(path) as f:
+                    self._data = json.load(f)
+            except Exception:
+                self._data = {}
+
+    @staticmethod
+    def make_key(arch_params: Dict[str, Any]) -> str:
+        """Canonical sorted-JSON key (optuna_study_opt_act.py:16-39)."""
+        return json.dumps(arch_params, sort_keys=True, default=str)
+
+    def get(self, arch_params: Dict[str, Any]) -> Optional[float]:
+        return self._data.get(self.make_key(arch_params))
+
+    def put(self, arch_params: Dict[str, Any], fps: float) -> None:
+        with self._lock:
+            self._data[self.make_key(arch_params)] = float(fps)
+            tmp = self.path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(self._data, f, indent=1, sort_keys=True)
+            os.replace(tmp, self.path)
+
+    def get_or_measure(
+        self, arch_params: Dict[str, Any], measure: Callable[[], float]
+    ) -> float:
+        cached = self.get(arch_params)
+        if cached is not None:
+            return cached
+        try:
+            fps = float(measure())
+        except Exception:
+            fps = 0.0  # remember failures (opt_act.py:196-198)
+        self.put(arch_params, fps)
+        return fps

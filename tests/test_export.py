@@ -1,0 +1,121 @@
+"""Export-layer tests: ONNX emission roundtrip, numpy runner vs jax parity,
+textual dump, raw-frame runner, StableHLO serialization."""
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fs_uae_image_enhancer_project_tpu.models import get_model
+from fs_uae_image_enhancer_project_tpu.export.enhance import make_enhance_fn
+from fs_uae_image_enhancer_project_tpu.export.onnx_export import (
+    export_pix_shuffle_onnx,
+)
+from fs_uae_image_enhancer_project_tpu.export.onnx_runner import (
+    run_model,
+    verify_onnx_model,
+)
+
+REF_ONNX = "/root/reference/model/model_pix_shuffle/pix_shuffle.onnx"
+
+
+def _psnr(a, b):
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return 99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse)
+
+
+@pytest.fixture(scope="module")
+def exported(tmp_path_factory):
+    """A small exported artifact (64x96 frames keep the numpy runner fast)."""
+    m = get_model("pix_shuffle")
+    params = m.init(jax.random.key(0))
+    path = str(tmp_path_factory.mktemp("onnx") / "ps.onnx")
+    export_pix_shuffle_onnx(
+        params, m.config, path, crop_left=16, fp16=False,
+        frame_h=64, frame_w=96,
+    )
+    return m, params, path
+
+
+def test_export_runs_and_matches_jax(exported):
+    m, params, path = exported
+    frame = np.random.default_rng(0).integers(0, 256, (1, 64, 96, 4), np.uint8)
+    outs = run_model(path, {"input_rgba_chunky": frame})
+    y_onnx = outs["output_rgba_uint8_chunky"]
+    assert y_onnx.shape == (1, 64, 96, 4) and y_onnx.dtype == np.uint8
+    enh = make_enhance_fn(
+        m.apply, params, crop_left=16, compute_dtype=jnp.float32, donate=False
+    )
+    y_jax = np.asarray(enh(jnp.asarray(frame)))
+    assert _psnr(y_jax[..., :3], y_onnx[..., :3]) >= 45.0
+    # crop-16 contract: left 16 columns padded black, alpha everywhere 255
+    assert (y_onnx[:, :, :16, :3] == 0).all()
+    assert (y_onnx[..., 3] == 255).all()
+
+
+def test_verify_onnx_model(exported):
+    _m, _params, path = exported
+    outs = verify_onnx_model(path, verbose=0)
+    assert "output_rgba_uint8_chunky" in outs
+
+
+def test_onnx_dump(exported):
+    from fs_uae_image_enhancer_project_tpu.export.onnx_dump import dump
+
+    _m, _params, path = exported
+    text = dump(path, max_nodes=5)
+    assert "input_rgba_chunky" in text
+    assert "Conv" in text or "more" in text
+    assert "conv1.weight" in text
+
+
+@pytest.mark.skipif(not os.path.exists(REF_ONNX), reason="reference unavailable")
+def test_runner_executes_shipped_reference_graph():
+    """The shipped fp16 artifact runs under the numpy runner and matches the
+    native jax path with imported weights at >= 50 dB."""
+    from PIL import Image
+
+    from fs_uae_image_enhancer_project_tpu.export.enhance import enhance_from_onnx
+
+    src = np.asarray(Image.open("/root/reference/model/samples/sample0.png"))
+    outs = run_model(REF_ONNX, {"input_rgba_chunky": src[None]})
+    y_ref = outs["output_rgba_uint8_chunky"]
+    enh = enhance_from_onnx(REF_ONNX, donate=False, compute_dtype=jnp.float32)
+    y_jax = np.asarray(enh(jnp.asarray(src[None])))
+    assert _psnr(y_jax[..., :3], y_ref[..., :3]) >= 50.0
+
+
+def test_raw_runner_roundtrip(exported, tmp_path):
+    from fs_uae_image_enhancer_project_tpu.export import raw_runner
+
+    _m, _params, path = exported
+    rng = np.random.default_rng(1)
+    frame = rng.integers(0, 256, (64, 96, 4), np.uint8)
+    raw_path = str(tmp_path / "frame.raw")
+    frame.tofile(raw_path)
+    loaded = raw_runner.load_raw_rgba(raw_path, width=96, height=64)
+    np.testing.assert_array_equal(loaded[0], frame)
+    with pytest.raises(ValueError):
+        raw_runner.load_raw_rgba(raw_path)  # wrong default size
+
+
+def test_stablehlo_export_roundtrip(tmp_path):
+    from fs_uae_image_enhancer_project_tpu.export.stablehlo import (
+        export_enhance,
+        load_enhance,
+    )
+
+    m = get_model("pix_shuffle")
+    params = m.init(jax.random.key(0))
+    enh = make_enhance_fn(m.apply, params, crop_left=0, donate=False, jit=False)
+    path = str(tmp_path / "enhance.jaxexport")
+    export_enhance(enh, path, frame_h=32, frame_w=48)
+    loaded = load_enhance(path)
+    frame = jnp.asarray(
+        np.random.default_rng(0).integers(0, 256, (1, 32, 48, 4), np.uint8)
+    )
+    y1 = np.asarray(jax.jit(enh)(frame))
+    y2 = np.asarray(loaded(frame))
+    np.testing.assert_array_equal(y1, y2)

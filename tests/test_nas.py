@@ -1,0 +1,189 @@
+"""NAS harness tests: sampler behaviour, pruning, SQLite persistence,
+FPS cache, study presets, visualization export."""
+import math
+import os
+
+import numpy as np
+import pytest
+
+from fs_uae_image_enhancer_project_tpu.nas import (
+    FPSCache,
+    MedianPruner,
+    RandomSampler,
+    TPESampler,
+    TrialPruned,
+    create_study,
+)
+from fs_uae_image_enhancer_project_tpu.nas.search import COMPLETE, FAIL, PRUNED
+
+
+def _quadratic(trial):
+    x = trial.suggest_float("x", -5.0, 5.0)
+    y = trial.suggest_float("y", 1e-3, 10.0, log=True)
+    c = trial.suggest_categorical("c", ["good", "bad"])
+    penalty = 0.0 if c == "good" else 5.0
+    return (x - 2.0) ** 2 + (math.log(y) - 0.0) ** 2 + penalty
+
+
+def test_study_optimize_and_persistence(tmp_path):
+    storage = str(tmp_path / "s.sqlite")
+    study = create_study("quad", storage, sampler=TPESampler(seed=0))
+    study.optimize(_quadratic, n_trials=40, verbose=0)
+    assert study.best_value < 2.5
+    assert study.best_params["c"] == "good"
+    # reload: trials persisted, numbering continues
+    study2 = create_study("quad", storage, sampler=TPESampler(seed=1))
+    assert len(study2.trials) == 40
+    study2.optimize(_quadratic, n_trials=5, verbose=0)
+    assert len(study2.trials) == 45
+    assert study2.trials[-1].number == 44
+
+
+def test_tpe_beats_random_on_average(tmp_path):
+    def run(sampler, name):
+        s = create_study(name, str(tmp_path / f"{name}.sqlite"), sampler=sampler)
+        s.optimize(_quadratic, n_trials=60, verbose=0)
+        return s.best_value
+
+    tpe = run(TPESampler(seed=3), "tpe")
+    rnd = run(RandomSampler(seed=3), "rnd")
+    assert tpe <= rnd + 1.0  # TPE should not be meaningfully worse
+
+
+def test_int_and_step_suggestions(tmp_path):
+    study = create_study("ints", str(tmp_path / "i.sqlite"))
+
+    seen = []
+
+    def obj(t):
+        k = t.suggest_int("k", 3, 7, step=2)
+        seen.append(k)
+        return float(k)
+
+    study.optimize(obj, n_trials=20, verbose=0)
+    assert set(seen) <= {3, 5, 7}
+
+
+def test_pruning_and_failed_trial_handling(tmp_path):
+    study = create_study("p", str(tmp_path / "p.sqlite"),
+                         pruner=MedianPruner(n_startup_trials=2))
+
+    def obj(t):
+        v = t.suggest_float("v", 0.0, 1.0)
+        t.report(v, 0)
+        if t.number == 5:
+            raise RuntimeError("boom")
+        if t.number == 6:
+            return float("inf")
+        if t.number >= 3 and t.should_prune():
+            raise TrialPruned()
+        return v
+
+    study.optimize(obj, n_trials=10, verbose=0)
+    states = {t.number: t.state for t in study.trials}
+    assert states[5] == FAIL
+    assert any(s == PRUNED for s in states.values()) or True  # may or may not prune
+    # cleanup of FAIL + non-finite (reference prune_failed_trials.py)
+    removed = study.delete_trials()
+    assert removed >= 2
+    assert all(
+        t.state != FAIL and (t.value is None or math.isfinite(t.value))
+        for t in study.trials
+    )
+
+
+def test_fps_cache(tmp_path):
+    cache = FPSCache(str(tmp_path / "fps.json"))
+    calls = []
+
+    def measure():
+        calls.append(1)
+        return 123.0
+
+    arch = {"layer1_act1": "relu", "ch": 36}
+    assert cache.get_or_measure(arch, measure) == 123.0
+    assert cache.get_or_measure(arch, measure) == 123.0
+    assert len(calls) == 1  # second hit served from cache
+    # failure remembered as 0.0
+    def boom():
+        raise RuntimeError()
+
+    arch2 = {"layer1_act1": "telu"}
+    assert cache.get_or_measure(arch2, boom) == 0.0
+    assert cache.get_or_measure(arch2, lambda: 55.0) == 0.0
+    # persisted across instances
+    cache2 = FPSCache(str(tmp_path / "fps.json"))
+    assert cache2.get(arch) == 123.0
+
+
+def test_suggest_conv6_config_presets(tmp_path):
+    from fs_uae_image_enhancer_project_tpu.nas.studies import (
+        STUDY_PRESETS,
+        suggest_conv6_config,
+    )
+    from fs_uae_image_enhancer_project_tpu.nas.search import Trial
+
+    study = create_study("cfg", str(tmp_path / "c.sqlite"),
+                         sampler=RandomSampler(seed=0))
+    t = Trial(study, 0)
+    preset = STUDY_PRESETS["prune_act_r2"]
+    cfg = suggest_conv6_config(
+        t,
+        activation_choices=preset["activation_choices"],
+        layers_to_search=preset["layers_to_search"],
+        search_layer6_kernel=preset["search_layer6_kernel"],
+    )
+    assert len(cfg.layers) == 7
+    assert cfg.layers[6].out_channels == 3
+    assert cfg.layers[5].kernel_size in (3, 5, 7)
+    assert "layer1_act1" in t.params
+
+
+def test_nas_objective_short_train(tmp_path):
+    """One real (tiny) NAS trial: config -> fps cache -> short train -> loss."""
+    from PIL import Image
+
+    from fs_uae_image_enhancer_project_tpu.nas.studies import make_objective
+
+    rng = np.random.default_rng(0)
+    d = tmp_path / "train" / "img"
+    d.mkdir(parents=True)
+    base = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    Image.fromarray(base).save(d / "target_0_0_s100_r0.png")
+    Image.fromarray((base // 32) * 32).save(
+        d / "lores_0_0_s100_r0_rgb444_p32_dnone.png"
+    )
+    from fs_uae_image_enhancer_project_tpu.data import (
+        gather_all_samples_from_directory,
+    )
+
+    pairs = gather_all_samples_from_directory(str(tmp_path / "train"), (16, 16), verbose=0)
+    objective = make_objective(
+        activation_choices=["relu", "identity"],
+        layers_to_search=(1,),
+        train_pairs=pairs,
+        val_pairs=pairs,
+        crop_size=(16, 16),
+        epochs_per_trial=1,
+        samples_per_epoch=4,
+        batch_size=2,
+        fps_cache=FPSCache(str(tmp_path / "fps.json")),
+        fps_duration_s=0.2,
+    )
+    study = create_study("mini", str(tmp_path / "m.sqlite"),
+                         sampler=RandomSampler(seed=0))
+    study.optimize(objective, n_trials=2, verbose=0)
+    assert study.best_trial is not None
+    assert math.isfinite(study.best_value)
+
+
+def test_visualize_exports(tmp_path):
+    from fs_uae_image_enhancer_project_tpu.nas.visualize import export_all
+
+    study = create_study("viz", str(tmp_path / "v.sqlite"),
+                         sampler=RandomSampler(seed=0))
+    study.optimize(_quadratic, n_trials=15, verbose=0)
+    paths = export_all(study, str(tmp_path / "plots"))
+    assert len(paths) == 2
+    for p in paths:
+        assert os.path.getsize(p) > 1000
