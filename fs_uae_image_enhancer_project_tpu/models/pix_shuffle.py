@@ -116,16 +116,39 @@ def _acts(params: Params, cfg: PixShuffleConfig, li: int, slots, x):
     return x
 
 
+def apply_with_intermediates(
+    params: Params, x: jnp.ndarray, cfg: PixShuffleConfig
+):
+    """Forward pass that also returns tagged per-layer activations.
+
+    Counterpart of the reference's ``model.save`` internal-activation dump
+    hook (train.py:278-301): the trainer renders these as images for
+    debugging. Returns (y, {tag: tensor}).
+    """
+    captured = {}
+
+    def tap(tag, t):
+        captured[tag] = t
+        return t
+
+    y = _forward(params, x, cfg, tap)
+    return y, captured
+
+
 def apply(params: Params, x: jnp.ndarray, cfg: PixShuffleConfig) -> jnp.ndarray:
     """Forward pass. x: (N, H, W, 3) linear-light float in [0, 1]-ish range.
 
     Mirrors reference forward (model_pix_shuffle.py:227-298) exactly.
     """
+    return _forward(params, x, cfg, lambda _tag, t: t)
+
+
+def _forward(params: Params, x: jnp.ndarray, cfg: PixShuffleConfig, tap):
     identity = x
     x = pixel_unshuffle(x, cfg.shuffle_factor)
     # Layer 1
     x = conv2d(params["conv1"], x)
-    x = _acts(params, cfg, 1, (1, 2), x)
+    x = tap("layer1", _acts(params, cfg, 1, (1, 2), x))
     long_skip = x
     # Layer 2 with residual add
     short = x
@@ -134,10 +157,10 @@ def apply(params: Params, x: jnp.ndarray, cfg: PixShuffleConfig) -> jnp.ndarray:
     if "skip1_proj" in params:
         short = conv2d(params["skip1_proj"], short)
     x = short + x
-    x = _acts(params, cfg, 2, (3, 4), x)
+    x = tap("layer2", _acts(params, cfg, 2, (3, 4), x))
     # Layer 3
     x = conv2d(params["conv3"], x)
-    x = _acts(params, cfg, 3, (1, 2), x)
+    x = tap("layer3", _acts(params, cfg, 3, (1, 2), x))
     # Layer 4 with residual add
     short = x
     x = conv2d(params["conv4"], x)
@@ -145,17 +168,17 @@ def apply(params: Params, x: jnp.ndarray, cfg: PixShuffleConfig) -> jnp.ndarray:
     if "skip2_proj" in params:
         short = conv2d(params["skip2_proj"], short)
     x = short + x
-    x = _acts(params, cfg, 4, (3, 4), x)
+    x = tap("layer4", _acts(params, cfg, 4, (3, 4), x))
     # Layer 5
     x = conv2d(params["conv5"], x)
-    x = _acts(params, cfg, 5, (1, 2), x)
+    x = tap("layer5", _acts(params, cfg, 5, (1, 2), x))
     # Layer 6 — concat long skip (channel axis is trailing in NHWC)
     x = jnp.concatenate([long_skip, x], axis=-1)
     x = conv2d(params["conv6"], x)
-    x = _acts(params, cfg, 6, (1, 2), x)
+    x = tap("layer6", _acts(params, cfg, 6, (1, 2), x))
     # Layer 7
     x = conv2d(params["conv7"], x)
-    x = _acts(params, cfg, 7, (1, 2), x)
+    x = tap("layer7", _acts(params, cfg, 7, (1, 2), x))
     # Back to full resolution; global residual; clamp negatives (:293-296)
     x = pixel_shuffle(x, cfg.shuffle_factor)
     x = identity + x

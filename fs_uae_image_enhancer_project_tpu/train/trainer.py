@@ -155,6 +155,34 @@ def inference_on_directory(
     return (time.time() - t0) / len(paths)
 
 
+def dump_internal_activations(
+    model: ModelDef, params, samples_dir: str, out_dir: str, epoch: int,
+) -> None:
+    """Save per-layer activation images for the first sample frame.
+
+    Counterpart of the reference's ``model.save`` internal dumps
+    (train.py:278-301): each captured tensor is channel-averaged, min-max
+    normalized and saved as ``epoch_<n>_basic_<tag>.png``."""
+    from PIL import Image
+
+    if model.name != "pix_shuffle":
+        return
+    from ..models import pix_shuffle as ps
+
+    paths = sorted(glob.glob(os.path.join(samples_dir, "*.png")))
+    if not paths:
+        return
+    img = np.asarray(Image.open(paths[0]).convert("RGB"), np.float32) / 255.0
+    x = jnp.asarray(img**2.2)[None]
+    _y, captured = ps.apply_with_intermediates(params, x, model.config)
+    for tag, t in captured.items():
+        a = np.asarray(t[0], np.float32).mean(axis=-1)  # channel average
+        a = (a - a.min()) / (a.max() - a.min() + 1e-8)
+        Image.fromarray((a * 255).astype(np.uint8), mode="L").save(
+            os.path.join(out_dir, f"epoch_{epoch}_basic_{tag}.png")
+        )
+
+
 # ---------------------------------------------------------------------------
 # Trainer
 # ---------------------------------------------------------------------------
@@ -172,6 +200,7 @@ class TrainerConfig:
     checkpoint_dir: str = "."
     samples_dir: Optional[str] = None  # per-epoch rendering source
     inference_always: bool = False
+    dump_internals: bool = False  # save per-layer activation images
     compute_dtype: str = "bfloat16"
     mesh=None  # optional jax.sharding.Mesh
     verbose: int = 1
@@ -343,5 +372,10 @@ class Trainer:
                 self._log(
                     f"Rendered samples; {avg_inference_time:.4f}s per image"
                 )
+                if cfg.dump_internals:
+                    dump_internal_activations(
+                        m, full_params, cfg.samples_dir,
+                        cfg.checkpoint_dir, epoch,
+                    )
 
         return best_val, best_epoch, avg_inference_time

@@ -9,12 +9,25 @@ torch.cuda.synchronize).
 """
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 import time
 from typing import Callable, Optional
 
 import jax
 import numpy as np
+
+
+@contextlib.contextmanager
+def trace(log_dir: str = "/tmp/jax-trace"):
+    """jax.profiler trace context — the TPU counterpart of the reference's
+    TensorBoard/cuda.Event instrumentation (SURVEY §5 Tracing). View with
+    xprof/tensorboard-profile on a machine that has them."""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield log_dir
+    finally:
+        jax.profiler.stop_trace()
 
 
 @dataclasses.dataclass
