@@ -1,0 +1,85 @@
+#!/usr/bin/env python3
+"""Build this framework's shipped artifacts — the counterpart of the
+reference's model/model_*/ directories (.onnx + .onnx.svg + predicted/
+sample frames, SURVEY §2 "Shipped artifacts").
+
+For each model with reference weights available, this script:
+1. imports the shipped reference ONNX weights,
+2. re-exports them through OUR exporter (artifacts/<name>/<name>.onnx),
+3. renders the graph SVG,
+4. enhances the 8 committed Amiga sample frames with the native jax path
+   (artifacts/<name>/predicted/sample*.png),
+5. writes a parity report (PSNR vs the reference's committed outputs).
+"""
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REF = "/root/reference/model"
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "artifacts")
+
+
+def main() -> int:
+    import numpy as np
+    from PIL import Image
+
+    import jax.numpy as jnp
+
+    from fs_uae_image_enhancer_project_tpu.export.enhance import enhance_from_onnx
+    from fs_uae_image_enhancer_project_tpu.export.onnx_export import (
+        export_pix_shuffle_onnx,
+    )
+    from fs_uae_image_enhancer_project_tpu.export.onnx_import import import_pix_shuffle
+    from fs_uae_image_enhancer_project_tpu.export.onnx_svg import render_file
+    from fs_uae_image_enhancer_project_tpu.models import get_model
+
+    if not os.path.isdir(REF):
+        print("reference tree unavailable; nothing to build", file=sys.stderr)
+        return 1
+
+    name = "pix_shuffle"
+    out_dir = os.path.join(OUT, f"model_{name}")
+    os.makedirs(os.path.join(out_dir, "predicted"), exist_ok=True)
+
+    src = f"{REF}/model_{name}/{name}.onnx"
+    imp = import_pix_shuffle(src)
+    m = get_model(name)
+
+    onnx_out = os.path.join(out_dir, f"{name}.onnx")
+    export_pix_shuffle_onnx(
+        imp.params, m.config, onnx_out, crop_left=0, fp16=True,
+        srgb_to_linear_exponent=imp.srgb_to_linear_exponent,
+        linear_to_srgb_exponent=imp.linear_to_srgb_exponent,
+    )
+    render_file(onnx_out)
+    print(f"exported {onnx_out} (+ .svg)")
+
+    enhance = enhance_from_onnx(src, donate=False, compute_dtype=jnp.float32)
+    report = {}
+    for i in range(8):
+        frame = np.asarray(Image.open(f"{REF}/samples/sample{i}.png"))
+        out = np.asarray(enhance(jnp.asarray(frame[None])))[0]
+        Image.fromarray(out, mode="RGBA").save(
+            os.path.join(out_dir, "predicted", f"sample{i}.png")
+        )
+        ref = np.asarray(
+            Image.open(f"{REF}/model_{name}/predicted/sample{i}.png").convert("RGB")
+        )
+        mse = np.mean(
+            (out[..., :3].astype(np.float64) - ref.astype(np.float64)) ** 2
+        )
+        report[f"sample{i}_psnr_db"] = round(
+            99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse), 2
+        )
+    report["min_psnr_db"] = min(v for v in report.values())
+    with open(os.path.join(out_dir, "parity_report.json"), "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps(report))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -119,3 +119,12 @@ def test_stablehlo_export_roundtrip(tmp_path):
     y1 = np.asarray(jax.jit(enh)(frame))
     y2 = np.asarray(loaded(frame))
     np.testing.assert_array_equal(y1, y2)
+
+
+def test_onnx_svg_render(exported, tmp_path):
+    from fs_uae_image_enhancer_project_tpu.export.onnx_svg import render_file
+
+    _m, _params, path = exported
+    svg_path = render_file(path, str(tmp_path / "g.svg"))
+    text = open(svg_path).read()
+    assert text.startswith("<svg") and "Conv" in text and "</svg>" in text

@@ -89,3 +89,40 @@ def test_train_step_batchnorm_model(devices8):
     state, loss = step(state, lr_b, hr_b)
     assert np.isfinite(float(loss))
     assert not np.allclose(np.asarray(state.buffers["bn1"]["mean"]), old_mean)
+
+
+def test_sharded_batch_inference(devices8, tmp_path):
+    """dp-sharded offline enhancement over the 8-device mesh."""
+    import os
+    from PIL import Image
+    from fs_uae_image_enhancer_project_tpu.export.enhance import make_enhance_fn
+    from fs_uae_image_enhancer_project_tpu.parallel.inference import (
+        enhance_directory,
+        make_sharded_enhance,
+    )
+
+    mesh = make_mesh(8, sp=1)
+    m = get_model("pix_shuffle")
+    params = m.init(jax.random.key(0))
+    enh = make_enhance_fn(m.apply, params, crop_left=0, donate=False, jit=False)
+    sharded, shard_batch = make_sharded_enhance(enh, mesh)
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 256, (8, 16, 32, 4), np.uint8)
+    out = np.asarray(sharded(shard_batch(frames)))
+    assert out.shape == (8, 16, 32, 4) and out.dtype == np.uint8
+    # matches unsharded single-frame results
+    single = np.asarray(jax.jit(enh)(jnp.asarray(frames[:1])))
+    np.testing.assert_array_equal(out[0], single[0])
+    with pytest.raises(ValueError):
+        shard_batch(frames[:3])  # not divisible by dp
+
+    # directory flow (5 files -> padding path exercised)
+    src = tmp_path / "in"
+    src.mkdir()
+    for i in range(5):
+        Image.fromarray(
+            rng.integers(0, 256, (16, 32, 4), np.uint8), mode="RGBA"
+        ).save(src / f"f{i}.png")
+    n = enhance_directory(enh, str(src), str(tmp_path / "out"), mesh=mesh, verbose=0)
+    assert n == 5
+    assert len(os.listdir(tmp_path / "out")) == 5
