@@ -120,7 +120,11 @@ def enhance_from_onnx(path: str, **kwargs):
         final_act="none",
     )
     return make_enhance_fn(
-        functools.partial(apply_fused, cfg=cfg),
+        functools.partial(
+            apply_fused,
+            cfg=cfg,
+            relu_before_residual_add=imp.relu_before_residual_add,
+        ),
         imp.params,
         crop_left=0,
         srgb_domain=True,

@@ -111,19 +111,39 @@ def fuse(params: Params, cfg: ConvStackConfig) -> Params:
     return fused
 
 
-def apply_fused(params: Params, x: jnp.ndarray, cfg: ConvStackConfig) -> jnp.ndarray:
-    """Forward with BN already folded into the convs."""
+def apply_fused(
+    params: Params,
+    x: jnp.ndarray,
+    cfg: ConvStackConfig,
+    *,
+    relu_before_residual_add: bool = False,
+) -> jnp.ndarray:
+    """Forward with BN already folded into the convs.
+
+    ``relu_before_residual_add=True`` reproduces the reference's *deployed*
+    conv5 semantics: torch fuse_modules merged conv+bn+relu into one unit, so
+    the exported graph applies ReLU before the skip add instead of after
+    (training order is add-then-relu, model_conv5.py:128-144; the shipped
+    ONNX graphs are Conv->Relu->Add)."""
     n_layers = len(cfg.channels)
     for i in range(n_layers):
         skip = x if i in cfg.residual_layers else None
         x = conv2d(params[f"conv{i + 1}"], x)
-        if skip is not None:
-            x = skip + x
         is_last = i == n_layers - 1
-        if not is_last:
-            x = jax.nn.relu(x)
-        elif cfg.final_act == "sigmoid":
-            x = jax.nn.sigmoid(x)
+        if relu_before_residual_add:
+            if not is_last:
+                x = jax.nn.relu(x)
+            elif cfg.final_act == "sigmoid":
+                x = jax.nn.sigmoid(x)
+            if skip is not None:
+                x = skip + x
+        else:
+            if skip is not None:
+                x = skip + x
+            if not is_last:
+                x = jax.nn.relu(x)
+            elif cfg.final_act == "sigmoid":
+                x = jax.nn.sigmoid(x)
     return x
 
 

@@ -22,6 +22,54 @@ OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                    "artifacts")
 
 
+def build_conv_stack_artifacts() -> None:
+    """conv3/conv5 family: parity of our deployed jax path against the
+    SHIPPED GRAPH itself (executed with the numpy ONNX runner), which is the
+    right truth for these models — their deployed graphs differ from
+    training semantics (fused relu-before-add, no final sigmoid; see
+    export/onnx_import.py doc)."""
+    import numpy as np
+    from PIL import Image
+
+    import jax.numpy as jnp
+
+    from fs_uae_image_enhancer_project_tpu.export.enhance import enhance_from_onnx
+    from fs_uae_image_enhancer_project_tpu.export.onnx_runner import run_model
+    from fs_uae_image_enhancer_project_tpu.export.onnx_svg import render_svg
+    from fs_uae_image_enhancer_project_tpu.export.onnx_proto import load_model
+
+    for name in ("conv3", "conv3_heavy", "conv5", "conv5_heavy"):
+        src = f"{REF}/model_{name}/{name}.onnx"
+        if not os.path.exists(src):
+            continue
+        out_dir = os.path.join(OUT, f"model_{name}")
+        os.makedirs(os.path.join(out_dir, "predicted"), exist_ok=True)
+        model = load_model(src)
+        with open(os.path.join(out_dir, f"{name}.onnx.svg"), "w") as f:
+            f.write(render_svg(model.graph, title=f"{name}.onnx"))
+        enhance = enhance_from_onnx(src, donate=False, compute_dtype=jnp.float32)
+        report = {}
+        for i in (0, 3, 6):  # subset: the numpy runner is the slow part
+            frame = np.asarray(Image.open(f"{REF}/samples/sample{i}.png"))
+            ours = np.asarray(enhance(jnp.asarray(frame[None])))[0]
+            Image.fromarray(ours, mode="RGBA").save(
+                os.path.join(out_dir, "predicted", f"sample{i}.png")
+            )
+            truth = run_model(model, {"input_rgba_chunky": frame[None]})[
+                "output_rgba_uint8_chunky"
+            ][0]
+            mse = np.mean(
+                (ours[..., :3].astype(np.float64) - truth[..., :3].astype(np.float64)) ** 2
+            )
+            report[f"sample{i}_psnr_vs_shipped_graph_db"] = round(
+                99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse), 2
+            )
+        report["min_psnr_db"] = min(report.values())
+        with open(os.path.join(out_dir, "parity_report.json"), "w") as f:
+            json.dump(report, f, indent=1)
+        print(name, json.dumps(report))
+
+
 def main() -> int:
     import numpy as np
     from PIL import Image
@@ -39,6 +87,8 @@ def main() -> int:
     if not os.path.isdir(REF):
         print("reference tree unavailable; nothing to build", file=sys.stderr)
         return 1
+
+    build_conv_stack_artifacts()
 
     name = "pix_shuffle"
     out_dir = os.path.join(OUT, f"model_{name}")

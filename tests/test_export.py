@@ -128,3 +128,25 @@ def test_onnx_svg_render(exported, tmp_path):
     svg_path = render_file(path, str(tmp_path / "g.svg"))
     text = open(svg_path).read()
     assert text.startswith("<svg") and "Conv" in text and "</svg>" in text
+
+
+@pytest.mark.skipif(
+    not os.path.exists("/root/reference/model/model_conv5/conv5.onnx"),
+    reason="reference unavailable",
+)
+def test_conv5_deployed_semantics_parity():
+    """The deployed conv5 graph applies ReLU before the residual adds
+    (fusion reordering); our conv_stack deployed path must reproduce it.
+    Truth = the shipped graph executed by the numpy runner."""
+    from PIL import Image
+
+    from fs_uae_image_enhancer_project_tpu.export.enhance import enhance_from_onnx
+
+    path = "/root/reference/model/model_conv5/conv5.onnx"
+    src = np.asarray(Image.open("/root/reference/model/samples/sample0.png"))
+    truth = run_model(path, {"input_rgba_chunky": src[None]})[
+        "output_rgba_uint8_chunky"
+    ]
+    enh = enhance_from_onnx(path, donate=False, compute_dtype=jnp.float32)
+    ours = np.asarray(enh(jnp.asarray(src[None])))
+    assert _psnr(ours[..., :3], truth[..., :3]) >= 50.0
