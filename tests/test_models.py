@@ -173,3 +173,14 @@ def test_config_json_roundtrip():
     s = config_to_json(m.config)
     cfg2 = config_from_json(s)
     assert cfg2 == m.config
+
+
+def test_model_summary():
+    from fs_uae_image_enhancer_project_tpu.models.summary import summarize
+
+    m = get_model("pix_shuffle")
+    text = summarize(m.init(KEY), "pix_shuffle")
+    assert "conv1.w" in text and "total 136,602" in text
+    m3 = get_model("conv3")
+    text3 = summarize(m3.init(KEY))
+    assert "buffer" in text3  # bn running stats flagged
