@@ -26,7 +26,30 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _ensure_backend() -> None:
+    """The remote-TPU plugin registration (sitecustomize) fails transiently;
+    a failed registration poisons the whole interpreter, so re-exec this
+    script (fresh interpreter, fresh registration) a few times before giving
+    up and falling back to CPU."""
+    import jax
+
+    try:
+        jax.devices()
+        return
+    except RuntimeError as e:
+        attempts = int(os.environ.get("BENCH_BACKEND_RETRIES", "0"))
+        if attempts < 5:
+            os.environ["BENCH_BACKEND_RETRIES"] = str(attempts + 1)
+            time.sleep(30)
+            os.execv(sys.executable, [sys.executable, os.path.abspath(__file__)])
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        print(f"# TPU backend unavailable after retries ({e}); CPU fallback",
+              file=sys.stderr)
+        os.execv(sys.executable, [sys.executable, os.path.abspath(__file__)])
+
+
 def main() -> None:
+    _ensure_backend()
     import jax
     import jax.numpy as jnp
     import numpy as np

@@ -205,6 +205,71 @@ def _emit_pix_shuffle_body(
     return b.add_node("Relu", [t], ["model_output"])[0]
 
 
+def export_conv_stack_onnx(
+    params: Params,
+    cfg,
+    out_path: str,
+    *,
+    fp16: bool = True,
+    frame_h: int = FRAME_H,
+    frame_w: int = FRAME_W,
+) -> str:
+    """Emit a conv3/conv5-family deployment artifact (fused params).
+
+    sRGB-domain wrapper (no gamma pow — matching the reference's conv3/conv5
+    graphs): uint8 RGBA chunky -> /255 -> conv stack -> x255 -> clip ->
+    alpha pad -> uint8 RGBA chunky. Unlike the reference's shipped conv5
+    graph, residual adds keep the *training* semantics (add before ReLU,
+    model_conv5.py:128-144) — the reference's relu-before-add was a
+    fuse_modules artefact, not intent.
+    """
+    elem = FLOAT16 if fp16 else FLOAT
+    b = GraphBuilder("fs_uae_enhance_conv")
+    em = _ModelEmitter(b, params, elem)
+    n = 1
+    b.add_input("input_rgba_chunky", UINT8, (n, frame_h, frame_w, 4))
+    t = b.add_node(
+        "Transpose", ["input_rgba_chunky"], perm=[0, 3, 1, 2]
+    )[0]
+    starts = b.add_initializer("slice_starts_constant", np.array([0], np.int64))
+    ends = b.add_initializer("slice_ends_constant", np.array([3], np.int64))
+    axes = b.add_initializer("slice_axes_constant", np.array([1], np.int64))
+    t = b.add_node("Slice", [t, starts, ends, axes])[0]
+    t = b.add_node("Cast", [t], to=elem)[0]
+    c255 = em.scalar("div_by_255_constant", 255.0)
+    t = b.add_node("Div", [t, c255])[0]
+
+    n_layers = len(cfg.channels)
+    skip = None
+    for i in range(n_layers):
+        if i in cfg.residual_layers:
+            skip = t
+        t = em.conv(f"conv{i + 1}", t)
+        if skip is not None and i in cfg.residual_layers:
+            t = b.add_node("Add", [skip, t])[0]
+            skip = None
+        is_last = i == n_layers - 1
+        if not is_last:
+            t = b.add_node("Relu", [t])[0]
+        elif cfg.final_act == "sigmoid":
+            t = b.add_node("Sigmoid", [t])[0]
+
+    t = b.add_node("Mul", [t, c255])[0]
+    zero = em.scalar("clip_min_constant", 0.0)
+    t = b.add_node("Clip", [t, zero, c255])[0]
+    t = b.add_node("Cast", [t], to=UINT8)[0]
+    apads = b.add_initializer(
+        "pad_pads_constant", np.array([0, 0, 0, 0, 0, 1, 0, 0], np.int64)
+    )
+    aval = b.add_initializer("pad_value_constant", np.array(255, np.uint8))
+    t = b.add_node("Pad", [t, apads, aval])[0]
+    b.add_node("Transpose", [t], ["output_rgba_uint8_chunky"], perm=[0, 2, 3, 1])
+    b.add_output("output_rgba_uint8_chunky", UINT8, (n, frame_h, frame_w, 4))
+    with open(out_path, "wb") as f:
+        f.write(b.serialize_model(opset=13))
+    return out_path
+
+
 def export_pix_shuffle_onnx(
     params: Params,
     cfg: PixShuffleConfig,

@@ -246,17 +246,19 @@ class Trainer:
         os.makedirs(cfg.checkpoint_dir, exist_ok=True)
 
         steps_per_epoch = max(len(train_ds) // cfg.accumulation_steps, 1)
-        optimizer = make_optimizer(
-            lr=cfg.lr, weight_decay=cfg.weight_decay,
-            lr_decay_rate=cfg.lr_decay_rate, steps_per_epoch=steps_per_epoch,
-        )
-
         (start_epoch, best_val, best_epoch, no_improve, lr0, ckpt_path) = (
             load_last_epoch_and_checkpoint(cfg.lr, self.stats_file)
         )
         self._log(
             f"Starting from epoch {start_epoch + 1}, best val {best_val:.4f}, "
             f"patience used {no_improve}, lr {lr0}"
+        )
+        # Resume semantics match the reference (train.py:138-143): the
+        # optimizer restarts from the CSV's last learning rate and the
+        # exponential decay continues from there.
+        optimizer = make_optimizer(
+            lr=lr0, weight_decay=cfg.weight_decay,
+            lr_decay_rate=cfg.lr_decay_rate, steps_per_epoch=steps_per_epoch,
         )
 
         if state is None:
@@ -280,7 +282,7 @@ class Trainer:
         def eval_loss(params, buffers, lr_b, hr_b):
             full = merge_bn_buffers(params, buffers)
             x = lr_b.astype(jnp.dtype(cfg.compute_dtype))
-            y = m.apply(full, x) if not self.has_bn else m.apply(full, x)
+            y = m.apply(full, x)  # inference mode: running BN stats
             return self.criterion(y.astype(jnp.float32), hr_b)
 
         avg_inference_time = 0.0
@@ -320,7 +322,7 @@ class Trainer:
                     )
             val_loss = float(np.mean(val_losses)) if val_losses else train_loss
 
-            current_lr = cfg.lr * (cfg.lr_decay_rate ** epoch)
+            current_lr = lr0 * (cfg.lr_decay_rate ** (epoch - start_epoch))
             new_best = val_loss < best_val
             apply_inference = cfg.inference_always or new_best
             if new_best:

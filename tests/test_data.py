@@ -103,3 +103,35 @@ def test_srdataset_empty_pool_raises():
     ds = SRDataset([], (8, 8), num_samples=2)
     with pytest.raises(IndexError):
         next(iter(ds))
+
+
+def test_codec_randomized_roundtrip():
+    """Property-style: random specs survive construct -> parse."""
+    import random
+
+    rng = random.Random(0)
+    dithers = ["none", "checkerboard", "bayer2x2", "bayer8x8",
+               "floyd-steinberg", "atkinson", "sierra2", "sierra3",
+               "stucki", "burkes"]
+    for _ in range(200):
+        params = {
+            "crop_x": rng.randint(-500, 500),
+            "crop_y": rng.randint(-500, 500),
+            "scale_perc": rng.randint(1, 100),
+            "rot_deg": rng.randint(0, 359),
+            "resolution": rng.choice(
+                ["lores", "hires", "lores_laced", "hires_laced"]
+            ),
+            "rgb": rng.choice(["RGB444", "RGB555", "RGB565", "RGB666", "RGB888"]),
+            "pal": rng.choice([None, 2, 16, 32, 256, 4096]),
+            "dither": rng.choice(dithers),
+        }
+        fn = construct_filename(params, is_target=False)
+        parsed = parse_generated_filename(fn)
+        assert parsed is not None, fn
+        for k in ("crop_x", "crop_y", "scale_perc", "rot_deg",
+                  "resolution", "rgb", "pal", "dither"):
+            assert parsed[k] == params[k], (k, fn)
+        tfn = construct_filename(params, is_target=True)
+        tparsed = parse_generated_filename(tfn)
+        assert tparsed["type"] == "target"

@@ -150,3 +150,34 @@ def test_conv5_deployed_semantics_parity():
     enh = enhance_from_onnx(path, donate=False, compute_dtype=jnp.float32)
     ours = np.asarray(enh(jnp.asarray(src[None])))
     assert _psnr(ours[..., :3], truth[..., :3]) >= 50.0
+
+
+def test_conv_stack_export_roundtrip(tmp_path):
+    """conv5 export (training semantics, sigmoid) runs under the runner and
+    matches the jax fused path."""
+    from fs_uae_image_enhancer_project_tpu.export.onnx_export import (
+        export_conv_stack_onnx,
+    )
+    from fs_uae_image_enhancer_project_tpu.models.conv_stack import fuse
+
+    m = get_model("conv5")
+    fused = fuse(m.init(jax.random.key(2)), m.config)
+    path = str(tmp_path / "c5.onnx")
+    export_conv_stack_onnx(fused, m.config, path, fp16=False,
+                           frame_h=32, frame_w=48)
+    frame = np.random.default_rng(3).integers(0, 256, (1, 32, 48, 4), np.uint8)
+    y_onnx = run_model(path, {"input_rgba_chunky": frame})[
+        "output_rgba_uint8_chunky"
+    ]
+    import functools
+
+    from fs_uae_image_enhancer_project_tpu.models.conv_stack import apply_fused
+
+    enh = make_enhance_fn(
+        functools.partial(apply_fused, cfg=m.config),
+        fused, crop_left=0, srgb_domain=True,
+        compute_dtype=jnp.float32, donate=False,
+    )
+    y_jax = np.asarray(enh(jnp.asarray(frame)))
+    assert _psnr(y_jax[..., :3], y_onnx[..., :3]) >= 45.0
+    assert (y_onnx[..., 3] == 255).all()

@@ -127,3 +127,29 @@ def test_trainer_batchnorm_model(tiny_dataset, tmp_path):
     train_ds = SRDataset(pairs, (16, 16), num_samples=4, linear=False)
     best_val, _, _ = Trainer(m, cfg).train(train_ds, None)
     assert np.isfinite(best_val)
+
+
+@pytest.mark.skipif(
+    not os.path.isfile(
+        "/root/reference/model/model_pix_shuffle/training_stats_pix_shuffle.csv"
+    ),
+    reason="reference unavailable",
+)
+def test_csv_loader_parses_reference_committed_history():
+    """The CSV-resume loader is byte-compatible with the reference's own
+    committed training histories (BASELINE.md pins pix_shuffle best val
+    0.11051 @ epoch 41 of 50)."""
+    last, best, best_ep, ni, lr, path = load_last_epoch_and_checkpoint(
+        0.01,
+        "/root/reference/model/model_pix_shuffle/training_stats_pix_shuffle.csv",
+    )
+    assert last == 50
+    assert best == pytest.approx(0.11051, abs=5e-5)
+    assert best_ep == 41
+    assert path.endswith(".pth")
+    # conv3: best 0.05443 @ epoch 63 of 94
+    last3, best3, ep3, *_ = load_last_epoch_and_checkpoint(
+        0.01, "/root/reference/model/model_conv3/training_stats_conv3.csv"
+    )
+    assert last3 == 94 and ep3 == 63
+    assert best3 == pytest.approx(0.05443, abs=5e-5)
