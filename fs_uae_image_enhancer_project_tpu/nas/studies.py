@@ -177,6 +177,7 @@ def make_objective(
         fps = cache.get_or_measure(
             arch_key, lambda: measure_fps(cfg, duration_s=fps_duration_s)
         )
+        trial.params["fps_measured"] = fps  # recorded for pareto plots
         if min_fps and fps < min_fps:
             raise TrialPruned()
 

@@ -105,6 +105,41 @@ def plot_param_importances(study: Study, out_path: str, top: int = 20) -> None:
     plt.close(fig)
 
 
+def plot_pareto(study: Study, out_path: str) -> None:
+    """Objective-vs-FPS pareto view (reference plotly pareto export
+    counterpart); uses the 'fps_measured' value recorded per trial."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    pts = [
+        (t.params["fps_measured"], t.value)
+        for t in _finite_trials(study)
+        if "fps_measured" in t.params
+    ]
+    if not pts:
+        return
+    fig, ax = plt.subplots(figsize=(7, 5))
+    xs, ys = zip(*pts)
+    ax.scatter(xs, ys, s=18, alpha=0.7)
+    # pareto front (maximize fps, minimize objective)
+    front = []
+    for x, y in sorted(pts, key=lambda p: -p[0]):
+        if not front or y < front[-1][1]:
+            front.append((x, y))
+    if len(front) > 1:
+        fx, fy = zip(*front)
+        ax.plot(fx, fy, "r--", lw=1.2, label="pareto front")
+        ax.legend()
+    ax.set_xlabel("fps")
+    ax.set_ylabel("objective (val loss)")
+    ax.set_title(f"quality vs speed — {study.study_name}")
+    os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
+    fig.savefig(out_path, dpi=110, bbox_inches="tight")
+    plt.close(fig)
+
+
 def export_all(study: Study, out_dir: str = "tuning_results") -> List[str]:
     paths = []
     p1 = os.path.join(out_dir, f"{study.study_name}_history.png")
@@ -113,4 +148,7 @@ def export_all(study: Study, out_dir: str = "tuning_results") -> List[str]:
     p2 = os.path.join(out_dir, f"{study.study_name}_importances.png")
     plot_param_importances(study, p2)
     paths.append(p2)
+    p3 = os.path.join(out_dir, f"{study.study_name}_pareto.png")
+    plot_pareto(study, p3)
+    paths.append(p3)
     return [p for p in paths if os.path.exists(p)]

@@ -135,3 +135,25 @@ def test_codec_randomized_roundtrip():
         tfn = construct_filename(params, is_target=True)
         tparsed = parse_generated_filename(tfn)
         assert tparsed["type"] == "target"
+
+
+def test_srdataset_corrupt_file_retry(tmp_path):
+    """A corrupt PNG in the pool is skipped via the retry path
+    (reference srdataset.py:316-321 semantics)."""
+    from PIL import Image
+
+    d = tmp_path / "train" / "img"
+    d.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    good = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    Image.fromarray(good).save(d / "target_0_0_s100_r0.png")
+    Image.fromarray(good).save(d / "lores_0_0_s100_r0_rgb444_p32_dnone.png")
+    # corrupt styled file paired with a valid target at another location
+    Image.fromarray(good).save(d / "target_4_4_s100_r0.png")
+    (d / "lores_4_4_s100_r0_rgb444_p32_dnone.png").write_bytes(b"not a png")
+    pairs = gather_all_samples_from_directory(str(tmp_path / "train"), (8, 8), verbose=0)
+    assert len(pairs) == 2
+    ds = SRDataset(pairs, (8, 8), num_samples=12, batch_size=2, seed=0)
+    with pytest.warns(UserWarning):
+        batches = list(ds)
+    assert len(batches) == 6  # epochs complete despite the corrupt file

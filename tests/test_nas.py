@@ -187,3 +187,20 @@ def test_visualize_exports(tmp_path):
     assert len(paths) == 2
     for p in paths:
         assert os.path.getsize(p) > 1000
+
+
+def test_pareto_plot_export(tmp_path):
+    from fs_uae_image_enhancer_project_tpu.nas.visualize import plot_pareto
+
+    study = create_study("par", str(tmp_path / "p2.sqlite"),
+                         sampler=RandomSampler(seed=0))
+
+    def obj(t):
+        v = t.suggest_float("v", 0.0, 1.0)
+        t.params["fps_measured"] = 100.0 + 200.0 * (1.0 - v)  # speed/quality tradeoff
+        return v
+
+    study.optimize(obj, n_trials=12, verbose=0)
+    out = str(tmp_path / "pareto.png")
+    plot_pareto(study, out)
+    assert os.path.getsize(out) > 1000

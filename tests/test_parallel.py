@@ -126,3 +126,24 @@ def test_sharded_batch_inference(devices8, tmp_path):
     n = enhance_directory(enh, str(src), str(tmp_path / "out"), mesh=mesh, verbose=0)
     assert n == 5
     assert len(os.listdir(tmp_path / "out")) == 5
+
+
+def test_spatial_sharding_matches_single_device(devices8):
+    """Forward over an H-sharded input must equal the unsharded forward —
+    validates XLA's conv halo exchange through the whole model stack."""
+    mesh = make_mesh(8, dp=1, sp=8)
+    m = get_model("pix_shuffle")
+    params = m.init(jax.random.key(0))
+    x = jnp.asarray(
+        np.random.default_rng(0).uniform(0, 1, (1, 64, 48, 3)).astype(np.float32)
+    )
+    y_single = np.asarray(jax.jit(m.apply)(params, x))
+    bspec = NamedSharding(mesh, P(None, "sp"))
+    x_sharded = jax.device_put(x, bspec)
+    params_rep = replicate(mesh, params)
+    y_sharded = np.asarray(
+        jax.jit(m.apply, in_shardings=(NamedSharding(mesh, P()), bspec))(
+            params_rep, x_sharded
+        )
+    )
+    np.testing.assert_allclose(y_sharded, y_single, atol=2e-5, rtol=1e-5)
