@@ -350,10 +350,18 @@ def reduce_color_depth_and_dither(
     dithering_method: str = "none",
     palette_algorithm: str = "kmeans",
     verbose: int = 0,
+    backend: str = "numpy",
 ) -> np.ndarray:
     """Reduce colour depth of an RGB888 image, optionally generate a palette,
     optionally dither. Same surface, validation and semantics as the
-    reference entry point (quantize.py:395-600)."""
+    reference entry point (quantize.py:395-600).
+
+    ``backend='pallas'`` runs the vectorizable dither families (nearest
+    mapping, checkerboard, Bayer ordered) through the fused TPU kernel
+    (ops/pallas/dither.py) — for single-process on-device batch generation;
+    the default host path suits the generator's multi-process workers.
+    Error diffusion always runs on the host (native C++/numpy).
+    """
     if image_np.ndim != 3 or image_np.shape[2] != 3 or image_np.dtype != np.uint8:
         raise ValueError(
             "Input image must be a 3-channel (RGB) NumPy array of type uint8."
@@ -398,15 +406,28 @@ def reduce_color_depth_and_dither(
         palette_f = palette_u8.astype(np.float64)
 
     img_f = image_np.astype(np.float64)
+    use_pallas = backend == "pallas" and palette_u8 is not None and (
+        2 <= palette_u8.shape[0] <= 1024
+    )
 
     if dithering_method == "none":
         if target_palette_size is None:
             if color_space == "RGB888":
                 return image_np.copy()
             return np.clip(grid_quantize(image_np, color_space), 0, 255).astype(np.uint8)
+        if use_pallas:
+            from ..ops.pallas.dither import pallas_palette_dither
+
+            return pallas_palette_dither(img_f.astype(np.float32), palette_u8, "none")
         return map_to_palette(img_f, palette_u8)
 
     if dithering_method == "checkerboard":
+        if use_pallas:
+            from ..ops.pallas.dither import pallas_palette_dither
+
+            return pallas_palette_dither(
+                img_f.astype(np.float32), palette_u8, "checkerboard"
+            )
         return checkerboard_dither(img_f, palette_u8)
 
     if dithering_method.startswith("bayer"):
@@ -415,6 +436,12 @@ def reduce_color_depth_and_dither(
             "bayer4x4": BAYER_MATRIX_4X4,
             "bayer8x8": BAYER_MATRIX_8X8,
         }[dithering_method]
+        if use_pallas:
+            from ..ops.pallas.dither import pallas_palette_dither
+
+            return pallas_palette_dither(
+                img_f.astype(np.float32), palette_u8, "ordered", bayer
+            )
         return ordered_dither(img_f, palette_u8, bayer)
 
     # error diffusion

@@ -40,17 +40,12 @@ def main(argv: Optional[list] = None) -> int:
     import jax.numpy as jnp
 
     from ..models import get_model
-    from ..parallel.train_step import init_train_state, make_optimizer
-    from ..train.trainer import load_checkpoint
+    from ..train.trainer import load_params
     from .onnx_export import export_pix_shuffle_onnx
     from .onnx_runner import verify_onnx_model
 
     m = get_model(args.model_type)
-    params = m.init(jax.random.key(0))
-    opt = make_optimizer()
-    template = init_train_state(params, opt)
-    state = load_checkpoint(args.checkpoint, template)
-    params = state.params
+    params = load_params(args.checkpoint, m.init(jax.random.key(0)))
     print(f"loaded checkpoint {args.checkpoint}")
 
     out = export_pix_shuffle_onnx(

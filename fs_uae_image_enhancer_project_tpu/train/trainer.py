@@ -100,6 +100,28 @@ def save_checkpoint(path: str, state: TrainState) -> None:
     ckptr.wait_until_finished()
 
 
+def load_params(path: str, params_template):
+    """Restore only the parameter pytree from a trainer checkpoint.
+
+    Use when the optimizer state is irrelevant (export, inference): the
+    opt_state pytree structure depends on the lr schedule the run used, so a
+    full-state template from a differently-configured optimizer would not
+    match.
+    """
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    # restore without a target (raw saved tree), then take the params subtree
+    restored = ckptr.restore(os.path.abspath(path))
+    params = restored["params"]
+    # cast leaves onto the template's dtypes/devices
+    import jax.numpy as jnp
+
+    return jax.tree.map(
+        lambda t, v: jnp.asarray(v, dtype=t.dtype), params_template, params
+    )
+
+
 def load_checkpoint(path: str, template: TrainState) -> TrainState:
     import orbax.checkpoint as ocp
 

@@ -184,3 +184,39 @@ def test_model_summary():
     m3 = get_model("conv3")
     text3 = summarize(m3.init(KEY))
     assert "buffer" in text3  # bn running stats flagged
+
+
+def test_pix_shuffle_heavyweight_skip_projections():
+    """Heavyweight config (36->108 channel jumps) exercises the 1x1
+    bias-free skip projections (model_pix_shuffle.py:126-128, :143-145)."""
+    m = get_model("pix_shuffle", "heavyweight")
+    params = m.init(KEY)
+    assert "skip1_proj" not in params  # 36 == 36
+    assert "skip2_proj" not in params  # 108 == 108
+    # force differing channels to create projections
+    from fs_uae_image_enhancer_project_tpu.models.configs import (
+        ConvLayerSpec,
+        PixShuffleConfig,
+        act,
+    )
+    from fs_uae_image_enhancer_project_tpu.models import pix_shuffle as ps
+
+    cfg = PixShuffleConfig(
+        layers=(
+            ConvLayerSpec(24, 3, (act("relu"), act("identity"))),
+            ConvLayerSpec(36, 3, (act("relu"), act("identity"),
+                                  act("identity"), act("identity"))),
+            ConvLayerSpec(48, 3, (act("identity"), act("identity"))),
+            ConvLayerSpec(64, 3, (act("relu"), act("identity"),
+                                  act("identity"), act("identity"))),
+            ConvLayerSpec(24, 3, (act("identity"), act("identity"))),
+            ConvLayerSpec(36, 3, (act("relu"), act("identity"))),
+            ConvLayerSpec(12, 3, (act("identity"), act("identity"))),
+        )
+    )
+    p = ps.init(KEY, cfg)
+    assert "skip1_proj" in p and "skip2_proj" in p
+    assert p["skip1_proj"]["w"].shape == (1, 1, 24, 36)
+    assert "b" not in p["skip1_proj"]  # bias-free (reference :128)
+    x = jax.random.uniform(KEY, (1, 16, 16, 3), jnp.float32)
+    assert ps.apply(p, x, cfg).shape == x.shape

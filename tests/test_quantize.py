@@ -167,3 +167,12 @@ def test_expected_value_errors():
         reduce_color_depth_and_dither(img, "RGB444", target_palette_size=33)
     with pytest.raises(ValueError):
         reduce_color_depth_and_dither(img.astype(np.float32), "RGB444")
+
+
+def test_entry_point_pallas_backend_matches_numpy():
+    img = _gradient(16, 16)
+    kwargs = dict(color_space="RGB444", target_palette_size=16,
+                  dithering_method="bayer4x4", palette_algorithm="median_cut")
+    ref = reduce_color_depth_and_dither(img, **kwargs)
+    out = reduce_color_depth_and_dither(img, backend="pallas", **kwargs)
+    assert (out == ref).all(axis=-1).mean() >= 0.98  # fp32/fp64 ties only
