@@ -97,6 +97,11 @@ class GeneratorConfig:
     palette_algorithm: str = "kmeans"
     black_ratio_threshold: float = 0.75
     max_crops_per_image: Optional[int] = None  # quota per (image, rot, ds)
+    # per-split quotas on unique target crops, 0/None = unlimited
+    # (reference --train_num_crops/--test_num_crops, generator.py:1157-1275;
+    # shrink-on-rerun falls out of the spec-diff orphan cleanup)
+    train_num_crops: Optional[int] = None
+    test_num_crops: Optional[int] = None
     workers: int = max(1, (os.cpu_count() or 2) - 1)
     cache_dir: str = ".scan_cache"
     assume_yes: bool = True  # non-interactive delete of invalid files
@@ -274,6 +279,70 @@ class DatasetGenerator:
         self._log(1, f"scan: {len(specs)} valid crop locations")
         return specs
 
+    def _target_rel(self, s: CropSpec) -> str:
+        return os.path.normpath(
+            os.path.join(
+                s.split, s.image_base, construct_filename(s.params(), is_target=True)
+            )
+        )
+
+    def _apply_split_quotas(
+        self, specs: List[CropSpec], existing: Set[str]
+    ) -> List[CropSpec]:
+        """Keep at most N unique target crops per split.
+
+        Anchored to disk like the reference quota logic
+        (generator.py:1215-1265): crops whose targets already exist are kept
+        first (no churn when re-running over a built dataset), and only the
+        shortfall is filled — deterministically via a seeded shuffle so fills
+        are spread across source images. Warns when a quota cannot be met
+        (reference generator.py:1388-1390)."""
+        import random
+        import warnings
+
+        quotas = {"train": self.cfg.train_num_crops, "test": self.cfg.test_num_crops}
+        for split, quota in quotas.items():
+            if quota is not None and quota < 0:
+                raise ValueError(f"--{split}_num_crops cannot be negative.")
+        if not any(quotas.values()):
+            return specs
+        out: List[CropSpec] = []
+        for split in ("train", "test"):
+            split_specs = [s for s in specs if s.split == split]
+            quota = quotas.get(split)
+            if not quota:
+                out.extend(split_specs)
+                continue
+            if len(split_specs) < quota:
+                warnings.warn(
+                    f"Cannot meet requested quota: only {len(split_specs)} valid "
+                    f"{split} crops exist (requested {quota})."
+                )
+                out.extend(split_specs)
+                continue
+            if len(split_specs) == quota:
+                out.extend(split_specs)
+                continue
+            on_disk = [s for s in split_specs if self._target_rel(s) in existing]
+            missing = [s for s in split_specs if self._target_rel(s) not in existing]
+            keep = on_disk[:quota]
+            if len(keep) < quota:
+                order = sorted(
+                    missing,
+                    key=lambda s: (s.image_base, s.rot_deg, s.scale_perc,
+                                   s.crop_x, s.crop_y),
+                )
+                random.Random(1234).shuffle(order)
+                keep.extend(order[: quota - len(keep)])
+            self._log(
+                1,
+                f"quota: keeping {len(keep)} {split} crops "
+                f"({len(on_disk)} already on disk, "
+                f"{len(split_specs) - len(keep)} dropped)",
+            )
+            out.extend(keep)
+        return out
+
     # -- phases 3-4 ----------------------------------------------------------
     def _expected_files(self, specs: List[CropSpec]) -> Dict[str, tuple]:
         """Map of expected relative path -> (spec, combo|None)."""
@@ -394,8 +463,14 @@ class DatasetGenerator:
         try:
             images = self._load_image_paths()
             specs = self._scan_ground_truth(images)
-            expected = self._expected_files(specs)
+            if _stop_requested:
+                # a partial scan must never drive deletions: everything not
+                # scanned would be misclassified as orphaned
+                self._log(1, "stopped during scan; no cleanup or generation")
+                return self.summary({}, 0)
             existing = self._scan_output()
+            specs = self._apply_split_quotas(specs, existing)
+            expected = self._expected_files(specs)
             to_generate, orphans = self._plan(expected, existing)
             self._cleanup_orphans(orphans)
             generated = 0
@@ -408,6 +483,13 @@ class DatasetGenerator:
     def summary(self, expected: Dict[str, tuple], generated: int) -> dict:
         existing = self._scan_output()
         expected_set = set(map(os.path.normpath, expected.keys()))
+        if _stop_requested and not expected_set:
+            stats = {
+                "expected": 0, "present": len(existing),
+                "generated_this_run": 0, "missing": 0, "stopped": True,
+            }
+            self._log(1, f"summary: {stats}")
+            return stats
         stats = {
             "expected": len(expected_set),
             "present": len(expected_set & existing),
@@ -444,6 +526,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     ap.add_argument("--downscale", type=int, nargs="*", default=[100])
     ap.add_argument("--palette_algorithm", default="kmeans")
     ap.add_argument("--max_crops_per_image", type=int, default=None)
+    ap.add_argument("--train_num_crops", type=int, default=0,
+                    help="total unique target crops for train (0 = all)")
+    ap.add_argument("--test_num_crops", type=int, default=0,
+                    help="total unique target crops for test (0 = all)")
     ap.add_argument("--workers", type=int, default=None)
     ap.add_argument("--cache_dir", default=".scan_cache")
     ap.add_argument("--interactive", action="store_true")
@@ -464,6 +550,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         downscales=tuple(args.downscale),
         palette_algorithm=args.palette_algorithm,
         max_crops_per_image=args.max_crops_per_image,
+        train_num_crops=args.train_num_crops or None,
+        test_num_crops=args.test_num_crops or None,
         workers=args.workers or max(1, (os.cpu_count() or 2) - 1),
         cache_dir=args.cache_dir,
         assume_yes=not args.interactive,

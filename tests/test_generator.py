@@ -165,3 +165,81 @@ def test_grid_coords_cover_image():
     ys = [c[1] for c in coords]
     assert min(xs) <= 0 and max(xs) + 32 >= 100
     assert min(ys) <= 0 and max(ys) + 24 >= 80
+
+
+def test_split_crop_quota_and_shrink(source_tree):
+    # no quota: all crops
+    full = DatasetGenerator(_cfg(source_tree)).run()
+    full_expected = full["expected"]
+    # quota of 2 train crops: shrink deletes the excess targets+styled
+    cfg_q = _cfg(source_tree, train_num_crops=2)
+    stats = DatasetGenerator(cfg_q).run()
+    assert stats["missing"] == 0
+    assert stats["expected"] < full_expected
+    # targets on disk == quota
+    import glob
+
+    targets = glob.glob(
+        os.path.join(cfg_q.dest_dir, "train", "*", "target_*.png")
+    )
+    assert len(targets) == 2
+    # deterministic: rerun keeps the same selection, generates nothing
+    stats2 = DatasetGenerator(cfg_q).run()
+    assert stats2["generated_this_run"] == 0
+
+
+def test_quota_anchored_to_existing_targets(source_tree):
+    """Adding a new source image must not churn an already-built quota'd
+    dataset: existing targets are kept first, only the shortfall fills."""
+    import glob
+
+    cfg_q = _cfg(source_tree, train_num_crops=2)
+    DatasetGenerator(cfg_q).run()
+    before = set(
+        glob.glob(os.path.join(cfg_q.dest_dir, "train", "*", "target_*.png"))
+    )
+    assert len(before) == 2
+    # add a second source image -> spec space changes
+    _write_source(str(source_tree / "src" / "img_b.png"))
+    stats = DatasetGenerator(cfg_q).run()
+    after = set(
+        glob.glob(os.path.join(cfg_q.dest_dir, "train", "*", "target_*.png"))
+    )
+    assert after == before  # no churn: the on-disk selection is kept
+    assert stats["generated_this_run"] == 0
+
+
+def test_quota_validation_and_warning(source_tree):
+    with pytest.raises(ValueError):
+        DatasetGenerator(_cfg(source_tree, train_num_crops=-1)).run()
+    with pytest.warns(UserWarning, match="Cannot meet requested quota"):
+        stats = DatasetGenerator(_cfg(source_tree, train_num_crops=9999)).run()
+    assert stats["missing"] == 0
+
+
+def test_sigint_during_scan_never_deletes(source_tree, monkeypatch):
+    """A stop request that interrupts the scan must not classify the
+    unscanned remainder as orphans (data-loss guard)."""
+    from fs_uae_image_enhancer_project_tpu.datagen import generator as gen_mod
+
+    cfg = _cfg(source_tree)
+    DatasetGenerator(cfg).run()
+    import glob
+
+    n_before = len(glob.glob(os.path.join(cfg.dest_dir, "train", "*", "*.png")))
+    assert n_before > 0
+    monkeypatch.setattr(gen_mod, "_stop_requested", True)
+
+    # run() resets the flag; re-set it via the scan path instead
+    g = DatasetGenerator(cfg)
+    orig_scan = g._scan_ground_truth
+
+    def interrupted_scan(images):
+        gen_mod._stop_requested = True
+        return []  # partial scan: nothing collected
+
+    g._scan_ground_truth = interrupted_scan
+    stats = g.run()
+    assert stats["stopped"]
+    n_after = len(glob.glob(os.path.join(cfg.dest_dir, "train", "*", "*.png")))
+    assert n_after == n_before  # nothing deleted
