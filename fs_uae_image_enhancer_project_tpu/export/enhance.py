@@ -99,10 +99,20 @@ def enhance_from_onnx(path: str, **kwargs):
     imp = import_any(path)
     if imp.kind == "pix_shuffle":
         m = get_model("pix_shuffle")
+        # topology check: only the lightweight config is auto-reconstructable
+        # (activation specs are not recoverable from weights alone)
+        expected = [36, 36, 72, 72, 36, 36, 12]
+        got = [imp.params[f"conv{i+1}"]["w"].shape[-1] for i in range(7)]
+        if got != expected:
+            raise ValueError(
+                f"artifact {path} has conv channels {got}, not the lightweight "
+                f"pix_shuffle {expected}; build the enhance fn manually with "
+                "make_enhance_fn and the matching config"
+            )
         return make_enhance_fn(
             m.apply,
             imp.params,
-            crop_left=0,  # shipped artifact predates crop-16
+            crop_left=imp.crop_left,  # detected from the wrapper graph
             srgb_to_linear_exponent=imp.srgb_to_linear_exponent,
             linear_to_srgb_exponent=imp.linear_to_srgb_exponent,
             **kwargs,

@@ -101,7 +101,16 @@ class _ModelEmitter:
             th = b.add_node("Tanh", [e])[0]
             return b.add_node("Mul", [x, th], [f"{slot}_out"])[0]
         if name == "gelu":
-            return b.add_node("Gelu", [x], [f"{slot}_out"])[0]
+            # opset-13-valid erf decomposition (Gelu op needs opset >= 20):
+            # 0.5 * x * (1 + erf(x / sqrt(2)))
+            sq2 = self.scalar(f"{slot}_sqrt2", 1.4142135623730951)
+            half = self.scalar(f"{slot}_half", 0.5)
+            one = self.scalar(f"{slot}_one", 1.0)
+            d = b.add_node("Div", [x, sq2])[0]
+            e = b.add_node("Erf", [d])[0]
+            a = b.add_node("Add", [e, one])[0]
+            xm = b.add_node("Mul", [x, a])[0]
+            return b.add_node("Mul", [xm, half], [f"{slot}_out"])[0]
         if name == "elu":
             return b.add_node(
                 "Elu", [x], [f"{slot}_out"], alpha=float(cfg.get("alpha", 1.0))

@@ -49,6 +49,7 @@ class ImportedModel:
     linear_to_srgb_exponent: float = 0.4546
     srgb_to_linear_exponent: float = 2.2
     relu_before_residual_add: bool = False
+    crop_left: int = 0  # width crop observed in the input wrapper
     source: str = ""
 
 
@@ -69,7 +70,11 @@ def _bind_prelu_slopes(model: Model) -> Dict[str, np.ndarray]:
             continue
         scope = None
         for out in n.outputs:
-            m = re.search(r"/(l\d+_act\d+)/", out)
+            # torch scopes: '/l2_act4/prelu/PRelu_output_0';
+            # our exporter: 'l2_act4_out'
+            m = re.search(r"/(l\d+_act\d+)/", out) or re.match(
+                r"(l\d+_act\d+)_out$", out
+            )
             if m:
                 scope = m.group(1)
                 break
@@ -99,8 +104,9 @@ def import_pix_shuffle(path: str) -> ImportedModel:
         m = re.fullmatch(r"skip(\d)_proj_conv\.weight", name)
         if m:
             params[f"skip{m.group(1)}_proj"] = {"w": _conv_to_hwio(t.to_numpy())}
-        # sinlu a/b, biased_(p)relu bias
-        m = re.fullmatch(r"(l\d+_act\d+)\.([ab]|bias)", name)
+        # sinlu a/b, biased_(p)relu bias/slope (slope appears by name in
+        # artifacts from our own exporter; torch exports it anonymously)
+        m = re.fullmatch(r"(l\d+_act\d+)\.([ab]|bias|slope)", name)
         if m:
             slot, leaf = m.group(1), m.group(2)
             params.setdefault(slot, {})[leaf] = _f32(t.to_numpy()).reshape(-1)
@@ -114,8 +120,28 @@ def import_pix_shuffle(path: str) -> ImportedModel:
         has_gamma=exps is not None,
         srgb_to_linear_exponent=exps[0] if exps else 2.2,
         linear_to_srgb_exponent=exps[1] if exps else 0.4546,
+        crop_left=_detect_crop_left(model),
         source=path,
     )
+
+
+def _detect_crop_left(model: Model) -> int:
+    """Width crop in the input wrapper: a second Slice on axis 3 with a
+    nonzero start before the first Conv (torch2onnx.py:299-355 crop-16)."""
+    inits = model.graph.initializers
+    for n in model.graph.nodes:
+        if n.op_type == "Conv":
+            break
+        if n.op_type != "Slice" or len(n.inputs) < 4:
+            continue
+        try:
+            starts = inits[n.inputs[1]].to_numpy()
+            axes = inits[n.inputs[3]].to_numpy()
+        except KeyError:
+            continue
+        if len(axes) == 1 and int(axes[0]) == 3 and int(starts[0]) > 0:
+            return int(starts[0])
+    return 0
 
 
 def _gamma_exponents(model: Model):

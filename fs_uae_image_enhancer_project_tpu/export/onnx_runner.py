@@ -84,9 +84,17 @@ def run_graph(graph: Graph, feeds: Dict[str, np.ndarray]) -> Dict[str, np.ndarra
                 if len(ins) > 3 and ins[3] is not None
                 else list(range(len(starts)))
             )
+            steps = (
+                [int(v) for v in ins[4]]
+                if len(ins) > 4 and ins[4] is not None
+                else [1] * len(starts)
+            )
             sl = [slice(None)] * a.ndim
-            for s, e, ax in zip(starts, ends, axes):
-                sl[ax] = slice(s, e)
+            for s, e, ax, st in zip(starts, ends, axes, steps):
+                # ONNX uses INT_MAX/INT_MIN sentinels for open-ended slices
+                s_ = None if abs(s) >= 2**31 - 1 else s
+                e_ = None if abs(e) >= 2**31 - 1 else e
+                sl[ax] = slice(s_, e_, st)
             out = a[tuple(sl)]
         elif op == "Cast":
             out = a.astype(DTYPE_TO_NUMPY[node.attr("to")])
@@ -122,6 +130,10 @@ def run_graph(graph: Graph, feeds: Dict[str, np.ndarray]) -> Dict[str, np.ndarra
             out = np.where(a >= 0, a, alpha * (np.exp(a) - 1)).astype(a.dtype)
         elif op == "Gelu":
             out = _gelu(a.astype(np.float32)).astype(a.dtype)
+        elif op == "Erf":
+            from scipy.special import erf
+
+            out = erf(a.astype(np.float32)).astype(a.dtype)
         elif op == "PRelu":
             slope = ins[1]
             out = np.where(a >= 0, a, slope * a)

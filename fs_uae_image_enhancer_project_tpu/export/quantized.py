@@ -72,48 +72,33 @@ def calibrate(
     params: Params, cfg: PixShuffleConfig, frames: List[np.ndarray]
 ) -> Dict[str, float]:
     """Collect per-conv-input max-abs over calibration frames (linear-light
-    float inputs, as produced by the enhance wrapper)."""
+    float inputs, as produced by the enhance wrapper).
+
+    Derives every conv input from the model's own tap hook
+    (models/pix_shuffle.apply_with_intermediates) instead of duplicating the
+    topology: conv1 sees the unshuffled input, conv{k+1} sees layer k's
+    output, and conv6 sees concat(layer1, layer5) whose max-abs is the max of
+    the two."""
+    from ..models.pix_shuffle import apply_with_intermediates
+
     maxes = {name: 0.0 for name in CONV_ORDER}
 
-    def fwd_collect(x):
-        stats = {}
-        t = pixel_unshuffle(x, cfg.shuffle_factor)
-        stats["conv1"] = jnp.max(jnp.abs(t))
-        from ..ops.conv import conv2d
+    @jax.jit
+    def collect(x):
+        _y, caps = apply_with_intermediates(params, x, cfg)
+        u = pixel_unshuffle(x, cfg.shuffle_factor)
+        return {
+            "conv1": jnp.max(jnp.abs(u)),
+            "conv2": jnp.max(jnp.abs(caps["layer1"])),
+            "conv3": jnp.max(jnp.abs(caps["layer2"])),
+            "conv4": jnp.max(jnp.abs(caps["layer3"])),
+            "conv5": jnp.max(jnp.abs(caps["layer4"])),
+            "conv6": jnp.maximum(
+                jnp.max(jnp.abs(caps["layer1"])), jnp.max(jnp.abs(caps["layer5"]))
+            ),
+            "conv7": jnp.max(jnp.abs(caps["layer6"])),
+        }
 
-        t = conv2d(params["conv1"], t)
-        t = _acts(params, cfg, 1, (1, 2), t)
-        long_skip = t
-        short = t
-        stats["conv2"] = jnp.max(jnp.abs(t))
-        t = conv2d(params["conv2"], t)
-        t = _acts(params, cfg, 2, (1, 2), t)
-        if "skip1_proj" in params:
-            short = conv2d(params["skip1_proj"], short)
-        t = short + t
-        t = _acts(params, cfg, 2, (3, 4), t)
-        stats["conv3"] = jnp.max(jnp.abs(t))
-        t = conv2d(params["conv3"], t)
-        t = _acts(params, cfg, 3, (1, 2), t)
-        short = t
-        stats["conv4"] = jnp.max(jnp.abs(t))
-        t = conv2d(params["conv4"], t)
-        t = _acts(params, cfg, 4, (1, 2), t)
-        if "skip2_proj" in params:
-            short = conv2d(params["skip2_proj"], short)
-        t = short + t
-        t = _acts(params, cfg, 4, (3, 4), t)
-        stats["conv5"] = jnp.max(jnp.abs(t))
-        t = conv2d(params["conv5"], t)
-        t = _acts(params, cfg, 5, (1, 2), t)
-        t = jnp.concatenate([long_skip, t], axis=-1)
-        stats["conv6"] = jnp.max(jnp.abs(t))
-        t = conv2d(params["conv6"], t)
-        t = _acts(params, cfg, 6, (1, 2), t)
-        stats["conv7"] = jnp.max(jnp.abs(t))
-        return stats
-
-    collect = jax.jit(fwd_collect)
     for frame in frames:
         x = jnp.asarray(frame, jnp.float32)
         if x.ndim == 3:

@@ -145,9 +145,26 @@ def load_checkpoint(path: str, template: TrainState) -> TrainState:
 # sample-frame rendering (reference inference_on_directory, train.py:33-76)
 # ---------------------------------------------------------------------------
 
+def make_render_fn(model_apply: Callable, linear_io: bool = True):
+    """Jitted sample-render forward; build ONCE per model and reuse across
+    epochs (a fresh closure every call would defeat jax.jit's cache and
+    recompile each improving epoch)."""
+
+    @jax.jit
+    def fwd(p, x):
+        if linear_io:
+            x = x**2.2
+        y = model_apply(p, x)
+        if linear_io:
+            y = jnp.clip(y, 0.0, None) ** (1 / 2.2)
+        return jnp.clip(y, 0.0, 1.0)
+
+    return fwd
+
+
 def inference_on_directory(
     model_apply: Callable, params, input_dir: str, output_dir: str,
-    *, linear_io: bool = True,
+    *, linear_io: bool = True, render_fn: Optional[Callable] = None,
 ) -> float:
     """Enhance every PNG in input_dir, save to output_dir; returns avg
     seconds per image."""
@@ -158,14 +175,9 @@ def inference_on_directory(
     if not paths:
         return 0.0
 
-    @jax.jit
-    def fwd(p, x):
-        if linear_io:
-            x = x**2.2
-        y = model_apply(p, x)
-        if linear_io:
-            y = jnp.clip(y, 0.0, None) ** (1 / 2.2)
-        return jnp.clip(y, 0.0, 1.0)
+    fwd = render_fn if render_fn is not None else make_render_fn(
+        model_apply, linear_io
+    )
 
     t0 = time.time()
     for path in paths:
@@ -224,7 +236,7 @@ class TrainerConfig:
     inference_always: bool = False
     dump_internals: bool = False  # save per-layer activation images
     compute_dtype: str = "bfloat16"
-    mesh=None  # optional jax.sharding.Mesh
+    mesh: Optional[object] = None  # optional jax.sharding.Mesh
     verbose: int = 1
 
 
@@ -240,6 +252,7 @@ class Trainer:
         self.metrics_file = os.path.join(
             cfg.checkpoint_dir, f"metrics_{model.name}.jsonl"
         )
+        self._render_fn = make_render_fn(model.apply, model.linear_io)
 
     def _log(self, msg: str) -> None:
         if self.cfg.verbose:
@@ -249,12 +262,6 @@ class Trainer:
         os.makedirs(self.cfg.checkpoint_dir, exist_ok=True)
         with open(self.metrics_file, "a") as f:
             f.write(json.dumps(kv) + "\n")
-
-    def _reshape_for_accum(self, lr_b: np.ndarray, hr_b: np.ndarray):
-        """(B, H, W, C) -> (accum, B, H, W, C) micro-batches by stacking
-        consecutive loader batches — handled by the caller; here batches are
-        already one micro step, so add a leading axis."""
-        return lr_b[None], hr_b[None]
 
     def train(
         self,
@@ -267,7 +274,10 @@ class Trainer:
         m = self.model
         os.makedirs(cfg.checkpoint_dir, exist_ok=True)
 
-        steps_per_epoch = max(len(train_ds) // cfg.accumulation_steps, 1)
+        # ceil: the tail flush (train.py:190-193) is a real optimizer step
+        steps_per_epoch = max(
+            -(-len(train_ds) // cfg.accumulation_steps), 1
+        )
         (start_epoch, best_val, best_epoch, no_improve, lr0, ckpt_path) = (
             load_last_epoch_and_checkpoint(cfg.lr, self.stats_file)
         )
@@ -287,8 +297,16 @@ class Trainer:
             params = m.init(jax.random.key(0))
             state = init_train_state(params, optimizer, has_batchnorm=self.has_bn)
             if ckpt_path and os.path.isdir(ckpt_path):
-                state = load_checkpoint(ckpt_path, state)
-                self._log(f"Loaded checkpoint: {ckpt_path}")
+                # reference resume semantics (train.py:86-148): model weights
+                # from the checkpoint, lr from the CSV, FRESH optimizer state
+                # — restoring the schedule count too would double-apply the
+                # decay already baked into lr0
+                restored = load_checkpoint(ckpt_path, state)
+                state = init_train_state(
+                    merge_bn_buffers(restored.params, restored.buffers),
+                    optimizer, has_batchnorm=self.has_bn,
+                )
+                self._log(f"Loaded checkpoint weights: {ckpt_path}")
 
         train_step = jax.jit(
             make_train_step(
@@ -391,7 +409,7 @@ class Trainer:
                 avg_inference_time = inference_on_directory(
                     m.apply, full_params, cfg.samples_dir,
                     os.path.join(cfg.checkpoint_dir, "predicted"),
-                    linear_io=m.linear_io,
+                    linear_io=m.linear_io, render_fn=self._render_fn,
                 )
                 self._log(
                     f"Rendered samples; {avg_inference_time:.4f}s per image"

@@ -181,3 +181,55 @@ def test_conv_stack_export_roundtrip(tmp_path):
     y_jax = np.asarray(enh(jnp.asarray(frame)))
     assert _psnr(y_jax[..., :3], y_onnx[..., :3]) >= 45.0
     assert (y_onnx[..., 3] == 255).all()
+
+
+def test_export_reimport_roundtrip(exported, tmp_path):
+    """Our own exported artifact re-imports completely (incl. PRelu slopes)
+    and reconstructs a working enhance fn — regression for the KeyError:
+    'slope' crash found in review."""
+    from fs_uae_image_enhancer_project_tpu.export.enhance import enhance_from_onnx
+    from fs_uae_image_enhancer_project_tpu.export.onnx_import import import_pix_shuffle
+
+    m, params, path = exported
+    imp = import_pix_shuffle(path)
+    assert imp.crop_left == 16  # detected from the wrapper graph
+    assert "slope" in imp.params["l2_act4"]
+    np.testing.assert_allclose(
+        np.asarray(imp.params["l2_act4"]["slope"]),
+        np.asarray(params["l2_act4"]["slope"]), atol=1e-6,
+    )
+    enh = enhance_from_onnx(path, donate=False, compute_dtype=jnp.float32)
+    frame = jnp.asarray(
+        np.random.default_rng(5).integers(0, 256, (1, 64, 96, 4), np.uint8)
+    )
+    out = np.asarray(enh(frame))
+    assert out.shape == (1, 64, 96, 4)
+    # direct-path equivalence (same weights, same crop, fp16 rounding only)
+    direct = make_enhance_fn(
+        m.apply, params, crop_left=16, compute_dtype=jnp.float32, donate=False
+    )
+    assert _psnr(out[..., :3], np.asarray(direct(frame))[..., :3]) >= 45.0
+
+
+def test_runner_slice_steps():
+    """Slice with steps (negative/strided) — review found it silently ignored."""
+    from fs_uae_image_enhancer_project_tpu.export.onnx_proto import (
+        FLOAT, GraphBuilder,
+    )
+
+    b = GraphBuilder("s")
+    b.add_input("x", FLOAT, (1, 8))
+    b.add_initializer("starts", np.array([7], np.int64))
+    b.add_initializer("ends", np.array([-9], np.int64))
+    b.add_initializer("axes", np.array([1], np.int64))
+    b.add_initializer("steps", np.array([-1], np.int64))
+    b.add_node("Slice", ["x", "starts", "ends", "axes", "steps"], ["y"])
+    b.add_output("y", FLOAT, (1, 8))
+    import io, tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".onnx", delete=False) as f:
+        f.write(b.serialize_model())
+        path = f.name
+    x = np.arange(8, dtype=np.float32)[None]
+    out = run_model(path, {"x": x})["y"]
+    np.testing.assert_array_equal(out, x[:, ::-1])

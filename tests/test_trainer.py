@@ -153,3 +153,30 @@ def test_csv_loader_parses_reference_committed_history():
     )
     assert last3 == 94 and ep3 == 63
     assert best3 == pytest.approx(0.05443, abs=5e-5)
+
+
+def test_resume_uses_fresh_optimizer_with_csv_lr(tiny_dataset, tmp_path):
+    """CSV resume restores weights + lr but NOT the schedule count —
+    regression for the double-decay found in review."""
+    import dataclasses
+    import json
+
+    m = get_model("pix_shuffle")
+    m = m._replace(loss=dataclasses.replace(m.loss, vgg_weight=0.0,
+                                            high_frequency_weight=0.0))
+    pairs = gather_all_samples_from_directory(tiny_dataset, (16, 16), verbose=0)
+    ckpt_dir = str(tmp_path / "ck")
+    cfg = TrainerConfig(num_epochs=2, lr=1e-3, batch_size=2,
+                        accumulation_steps=2, checkpoint_interval=1,
+                        checkpoint_dir=ckpt_dir, verbose=0,
+                        lr_decay_rate=0.5)
+    ds = SRDataset(pairs, (16, 16), num_samples=8, batch_size=2)
+    Trainer(m, cfg).train(ds, None)
+    # resume one more epoch: logged lr must be csv_lr * 0.5^1, not ^2
+    cfg3 = dataclasses.replace(cfg, num_epochs=3)
+    Trainer(m, cfg3).train(ds, None)
+    rows = [json.loads(l) for l in open(
+        os.path.join(ckpt_dir, "metrics_pix_shuffle.jsonl"))]
+    lr2 = next(r["lr"] for r in rows if r["epoch"] == 2)
+    lr3 = next(r["lr"] for r in rows if r["epoch"] == 3)
+    assert lr3 == pytest.approx(lr2 * 0.5, rel=1e-6)
