@@ -181,16 +181,25 @@ class SRDataset:
     def __len__(self) -> int:
         return self.num_samples // self.batch_size
 
-    def _draw(self) -> Tuple[np.ndarray, np.ndarray]:
+    def _plan_draw(self) -> Tuple[int, bool, bool]:
+        """One RNG decision (index + flips); called single-threaded."""
+        idx = int(self._rng.integers(0, len(self.pool)))
+        hflip = self.flips and bool(self._rng.random() < 0.5)
+        vflip = self.flips and bool(self._rng.random() < 0.5)
+        return idx, hflip, vflip
+
+    def _load_planned(self, plan: Tuple[int, bool, bool]):
+        idx, hflip, vflip = plan
         for _attempt in range(10):
-            idx = int(self._rng.integers(0, len(self.pool)))
-            hflip = self.flips and bool(self._rng.random() < 0.5)
-            vflip = self.flips and bool(self._rng.random() < 0.5)
             try:
                 return _load_pair(self.pool[idx], self.linear, hflip, vflip)
-            except Exception as e:  # retry with another draw
+            except Exception as e:  # retry with a deterministic fallback draw
                 warnings.warn(f"Error loading {self.pool[idx]}: {e}. Retrying.")
+                idx = (idx + 1) % len(self.pool)
         raise RuntimeError("10 consecutive sample load failures")
+
+    def _draw(self) -> Tuple[np.ndarray, np.ndarray]:
+        return self._load_planned(self._plan_draw())
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         if not self.pool:
@@ -198,7 +207,11 @@ class SRDataset:
         n_batches = len(self)
         with ThreadPoolExecutor(max_workers=self.num_workers) as ex:
             for _ in range(n_batches):
-                items = list(ex.map(lambda _: self._draw(), range(self.batch_size)))
+                # draw all decisions single-threaded first: numpy Generators
+                # are not thread-safe and interleaved draws would make the
+                # seeded stream depend on thread scheduling
+                plans = [self._plan_draw() for _ in range(self.batch_size)]
+                items = list(ex.map(self._load_planned, plans))
                 lr = np.stack([a for a, _ in items])
                 hr = np.stack([b for _, b in items])
                 yield lr, hr
@@ -215,6 +228,7 @@ def device_prefetch(iterator, size: int = 2, sharding=None):
 
     q: "queue.Queue" = queue.Queue(maxsize=size)
     END = object()
+    error: list = []
 
     def put(batch):
         if sharding is not None:
@@ -225,6 +239,8 @@ def device_prefetch(iterator, size: int = 2, sharding=None):
         try:
             for batch in iterator:
                 q.put(put(batch))
+        except BaseException as e:  # surface in the consumer, don't truncate
+            error.append(e)
         finally:
             q.put(END)
 
@@ -233,5 +249,7 @@ def device_prefetch(iterator, size: int = 2, sharding=None):
     while True:
         item = q.get()
         if item is END:
+            if error:
+                raise error[0]
             break
         yield item

@@ -208,7 +208,7 @@ def generate_palette_kmeans_jax(
         assign = jnp.argmin(d, axis=1)
         one_hot = jax.nn.one_hot(assign, num_colors, dtype=jnp.float32)
         counts = one_hot.sum(axis=0)
-        sums = one_hot.T @ pts
+        sums = jnp.matmul(one_hot.T, pts, precision=jax.lax.Precision.HIGHEST)
         new = jnp.where(counts[:, None] > 0, sums / jnp.maximum(counts[:, None], 1), centers)
         return new, None
 
@@ -220,25 +220,44 @@ def generate_palette_kmeans_jax(
 # Vectorized dither kernels (numpy; jax variants in ops/pallas as they land)
 # ---------------------------------------------------------------------------
 
+# pixels per chunk in the palette distance search: bounds peak memory at
+# ~CHUNK * N * 8 B (a full (H*W, 4096) float64 matrix would be gigabytes per
+# generator worker — the reference's numba kernels are O(N) per pixel)
+_DIST_CHUNK = 16384
+
+
 def map_to_palette(image_float: np.ndarray, palette_u8: np.ndarray) -> np.ndarray:
     """Nearest-palette mapping, no dithering (quantize.py:523-530)."""
     pix = image_float.reshape(-1, 3)
     pal = palette_u8.astype(np.float64)
-    d = ((pix[:, None, :] - pal[None]) ** 2).sum(-1)
-    labels = np.argmin(d, axis=1)
+    labels = np.empty(len(pix), np.int64)
+    for lo in range(0, len(pix), _DIST_CHUNK):
+        chunk = pix[lo : lo + _DIST_CHUNK]
+        d = ((chunk[:, None, :] - pal[None]) ** 2).sum(-1)
+        labels[lo : lo + _DIST_CHUNK] = np.argmin(d, axis=1)
     return palette_u8[labels].reshape(image_float.shape).astype(np.uint8)
 
 
 def _two_nearest(image_float: np.ndarray, palette_f: np.ndarray):
-    """Indices + squared distances of the two nearest palette colours."""
+    """Indices + squared distances of the two nearest palette colours
+    (chunked: memory stays bounded for 4096-colour palettes)."""
     pix = image_float.reshape(-1, 3)
-    d = ((pix[:, None, :] - palette_f[None]) ** 2).sum(-1)
-    idx1 = np.argmin(d, axis=1)
-    d1 = d[np.arange(len(pix)), idx1]
-    d_masked = d.copy()
-    d_masked[np.arange(len(pix)), idx1] = np.inf
-    idx2 = np.argmin(d_masked, axis=1)
-    d2 = d_masked[np.arange(len(pix)), idx2]
+    n = len(pix)
+    idx1 = np.empty(n, np.int64)
+    d1 = np.empty(n, np.float64)
+    idx2 = np.empty(n, np.int64)
+    d2 = np.empty(n, np.float64)
+    for lo in range(0, n, _DIST_CHUNK):
+        chunk = pix[lo : lo + _DIST_CHUNK]
+        d = ((chunk[:, None, :] - palette_f[None]) ** 2).sum(-1)
+        rows = np.arange(len(chunk))
+        i1 = np.argmin(d, axis=1)
+        idx1[lo : lo + _DIST_CHUNK] = i1
+        d1[lo : lo + _DIST_CHUNK] = d[rows, i1]
+        d[rows, i1] = np.inf
+        i2 = np.argmin(d, axis=1)
+        idx2[lo : lo + _DIST_CHUNK] = i2
+        d2[lo : lo + _DIST_CHUNK] = d[rows, i2]
     return idx1, d1, idx2, d2
 
 

@@ -52,11 +52,17 @@ def make_perceptual_loss(
 
     def criterion(output: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
         if cfg.input_is_linear:
+            # clamp to a small epsilon before the pow: d/dx x**(1/2.2) -> inf
+            # at x=0, and ReLU-output models produce exact zeros on black
+            # regions. The reference survives the same singularity only
+            # because torch GradScaler skips inf-gradient steps; bf16
+            # training has no scaler, so one black pixel would NaN the run.
+            eps = 1e-6
             out_srgb = vgg_mod.normalize(
-                jnp.clip(linear_to_srgb_approx(jnp.clip(output, 0.0, None)), 0.0, 1.0)
+                jnp.clip(linear_to_srgb_approx(jnp.clip(output, eps, None)), 0.0, 1.0)
             )
             tgt_srgb = vgg_mod.normalize(
-                linear_to_srgb_approx(jnp.clip(target, 0.0, None))
+                linear_to_srgb_approx(jnp.clip(target, eps, None))
             )
         else:
             out_srgb = vgg_mod.normalize(jnp.clip(output, 0.0, 1.0))

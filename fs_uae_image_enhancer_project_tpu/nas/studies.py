@@ -215,7 +215,7 @@ def make_objective(
                 if not math.isfinite(float(loss)):
                     return float("inf")
             vds = SRDataset(
-                val_pairs or train_pairs, crop_size, max(batch_size, 16),
+                val_pairs or train_pairs, crop_size, max(bs, 16),
                 batch_size=bs, seed=1, flips=False,
             )
             vals = [

@@ -150,6 +150,11 @@ def _bcast_channel(p: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     """
     if p.shape[0] == x.shape[-1]:
         return p.reshape((1,) * (x.ndim - 1) + (p.shape[0],)).astype(x.dtype)
+    if p.shape[0] != 1:
+        raise ValueError(
+            f"activation has {p.shape[0]} per-channel parameters but the "
+            f"input has {x.shape[-1]} channels (torch would raise here too)"
+        )
     return p.reshape(-1)[0].astype(x.dtype)
 
 

@@ -53,6 +53,7 @@ def _dither_kernel(
         px, pal,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     dist = x2 - 2.0 * cross + p2  # (BLOCK, N)
 
@@ -110,6 +111,7 @@ def _dither_kernel(
         onehot, pal,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     out_ref[:, :3] = rgb
     out_ref[:, 3] = jnp.zeros_like(aux)

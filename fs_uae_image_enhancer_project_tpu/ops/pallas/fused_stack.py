@@ -256,8 +256,11 @@ def _run_stack(x_padded: jnp.ndarray, *weight_args, interpret: bool):
     in_specs = [pl.BlockSpec((hp, wp, 12), lambda i: (0, 0, 0), memory_space=space)]
     for arg in weight_args:
         in_specs.append(
-            pl.BlockSpec(arg.shape, lambda i: tuple(0 for _ in arg.shape),
-                         memory_space=space)
+            pl.BlockSpec(
+                arg.shape,
+                lambda i, r=len(arg.shape): (0,) * r,  # bind rank per-arg
+                memory_space=space,
+            )
         )
     return pl.pallas_call(
         kernel,
