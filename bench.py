@@ -30,19 +30,24 @@ def _ensure_backend() -> None:
     """The remote-TPU plugin registration (sitecustomize) fails transiently;
     a failed registration poisons the whole interpreter, so re-exec this
     script (fresh interpreter, fresh registration) a few times before giving
-    up and falling back to CPU."""
+    up and falling back to CPU — and exit nonzero if even CPU won't come up
+    (an unconditional re-exec would loop forever)."""
     import jax
 
     try:
         jax.devices()
         return
     except RuntimeError as e:
+        if os.environ.get("BENCH_CPU_FALLBACK") == "1":
+            print(f"# no usable backend even on CPU: {e}", file=sys.stderr)
+            sys.exit(1)
         attempts = int(os.environ.get("BENCH_BACKEND_RETRIES", "0"))
         if attempts < 5:
             os.environ["BENCH_BACKEND_RETRIES"] = str(attempts + 1)
             time.sleep(30)
             os.execv(sys.executable, [sys.executable, os.path.abspath(__file__)])
         os.environ["JAX_PLATFORMS"] = "cpu"
+        os.environ["BENCH_CPU_FALLBACK"] = "1"
         print(f"# TPU backend unavailable after retries ({e}); CPU fallback",
               file=sys.stderr)
         os.execv(sys.executable, [sys.executable, os.path.abspath(__file__)])
@@ -68,40 +73,19 @@ def main() -> None:
         enhance, _ = default_enhance_fn(donate=False)
         source = "random-init pix_shuffle weights"
 
+    from fs_uae_image_enhancer_project_tpu.utils.profiler import measure_chained
+
     rng = np.random.default_rng(0)
     frame = jnp.asarray(rng.integers(0, 256, (1, 576, 752, 4), dtype=np.uint8))
-
-    # compile + warmup
-    t0 = time.perf_counter()
-    _ = np.asarray(enhance(frame))
-    compile_s = time.perf_counter() - t0
-    y = frame
-    for _ in range(20):
-        y = enhance(y)
-    _ = np.asarray(y)
-
-    # timed chained window
-    chunk = 100
-    total_iters = 0
-    t_start = time.perf_counter()
-    y = frame
-    while time.perf_counter() - t_start < duration:
-        for _ in range(chunk):
-            y = enhance(y)
-        _ = np.asarray(y)  # fetch forces completion of the whole chain
-        total_iters += chunk
-    total_s = time.perf_counter() - t_start
-
-    fps = total_iters / total_s
-    ms = 1e3 * total_s / total_iters
+    res = measure_chained(enhance, frame, warmup=20, duration_s=duration, chunk=100)
     out = {
         "metric": "pix_shuffle 752x576 uint8 RGBA enhance, sustained fps (1 chip, chained)",
-        "value": round(fps, 2),
+        "value": round(res.fps, 2),
         "unit": "fps",
-        "vs_baseline": round(fps / 60.0, 3),
-        "ms_per_frame": round(ms, 3),
-        "compile_s": round(compile_s, 1),
-        "iterations": total_iters,
+        "vs_baseline": round(res.fps / 60.0, 3),
+        "ms_per_frame": round(res.ms_per_call, 3),
+        "compile_s": round(res.compile_s, 1),
+        "iterations": res.iterations,
         "backend": jax.default_backend(),
         "device": str(jax.devices()[0]),
         "weights": source,

@@ -29,17 +29,10 @@ SHAPES = [(1, 576, 752, 3), (1, 288, 376, 36), (1, 288, 376, 72)]
 
 
 def time_fn(fn, x, duration_s=1.0):
-    y = fn(x)
-    _ = np.asarray(jax.tree.leaves(y)[0]).ravel()[0]
-    n = 0
-    t0 = time.perf_counter()
-    acc = x
-    while time.perf_counter() - t0 < duration_s:
-        for _ in range(20):
-            acc = fn(acc)
-        _ = np.asarray(jax.tree.leaves(acc)[0]).ravel()[0]
-        n += 20
-    return (time.perf_counter() - t0) / n * 1e6  # us per call
+    from fs_uae_image_enhancer_project_tpu.utils.profiler import measure_chained
+
+    res = measure_chained(fn, x, warmup=3, duration_s=duration_s, chunk=20)
+    return res.ms_per_call * 1e3  # us per call
 
 
 def main() -> int:

@@ -29,30 +29,24 @@ def analytic_gflops(h, w, cin, cout, k):
 
 
 def time_conv(cin, cout, k, h, w, dtype, duration_s=1.0):
+    from fs_uae_image_enhancer_project_tpu.utils.profiler import measure_chained
+
     params = init_conv(jax.random.key(0), cin, cout, k)
     fwd = jax.jit(lambda x: conv2d(params, x))
     x = jnp.zeros((1, h, w, cin), dtype)
-    y = fwd(x)
-    _ = np.asarray(y).ravel()[0]
     # chained timing requires cout == cin; otherwise ping-pong two convs
+    # (measure_chained warms the full chain, so both compiles stay untimed)
     if cin == cout:
         chain = fwd
     else:
         params_back = init_conv(jax.random.key(1), cout, cin, k)
         back = jax.jit(lambda y: conv2d(params_back, y))
         chain = lambda x: back(fwd(x))  # noqa: E731
-    n = 0
-    acc = x
-    t0 = time.perf_counter()
-    while time.perf_counter() - t0 < duration_s:
-        for _ in range(10):
-            acc = chain(acc)
-        _ = np.asarray(acc).ravel()[0]
-        n += 10
-    per_call = (time.perf_counter() - t0) / n
+    res = measure_chained(chain, x, warmup=3, duration_s=duration_s, chunk=10)
+    per_call = res.ms_per_call
     if cin != cout:
         per_call /= 2.0  # chain ran two convs per step
-    return per_call * 1e3  # ms
+    return per_call
 
 
 def main() -> int:

@@ -106,26 +106,17 @@ def measure_fps(
 ) -> float:
     """Chained-timing FPS of the candidate at the deployment shape
     (reference protocol: model_pix_shuffle.py:348-368, honest-sync variant)."""
-    import time
-
     import jax
     import jax.numpy as jnp
 
     from ..models import conv6 as conv6_mod
+    from ..utils.profiler import measure_chained
 
     params = conv6_mod.init(jax.random.key(0), cfg)
-    fwd = jax.jit(lambda p, x: conv6_mod.apply(p, x, cfg))
+    fwd = jax.jit(lambda x: conv6_mod.apply(params, x, cfg))
     x = jnp.zeros((1, height, width, 3), jnp.dtype(compute_dtype))
-    y = np.asarray(fwd(params, x))  # compile + warm
-    n = 0
-    t0 = time.perf_counter()
-    yy = x
-    while time.perf_counter() - t0 < duration_s:
-        for _ in range(10):
-            yy = fwd(params, yy)
-        _ = np.asarray(yy[0, 0, 0])
-        n += 10
-    return n / (time.perf_counter() - t0)
+    res = measure_chained(fwd, x, warmup=3, duration_s=duration_s, chunk=10)
+    return res.fps
 
 
 def make_objective(

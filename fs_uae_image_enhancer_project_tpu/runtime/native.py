@@ -80,8 +80,10 @@ def error_diffusion(
     """Serpentine error diffusion via the native kernel. Returns float64."""
     lib = _load()
     assert lib is not None, "native kernels unavailable"
-    img = np.ascontiguousarray(image_float, dtype=np.float64).copy()
     pal = np.ascontiguousarray(palette_f, dtype=np.float64)
+    if pal.shape[0] == 0:
+        raise ValueError("error diffusion requires a non-empty palette")
+    img = np.ascontiguousarray(image_float, dtype=np.float64).copy()
     dxs = np.array([d[0] for d in diff_map], dtype=np.int32)
     dys = np.array([d[1] for d in diff_map], dtype=np.int32)
     wgts = np.array([d[2] for d in diff_map], dtype=np.float64)

@@ -1,1 +1,6 @@
-from .profiler import BenchResult, measure, measure_donated  # noqa: F401
+from .profiler import (  # noqa: F401
+    BenchResult,
+    measure_chained,
+    measure_roundtrip,
+    trace,
+)

@@ -2,10 +2,15 @@
 
 Replaces the reference's six copy-pasted benchmark loops (20 warmups + 20 s
 sustained at batch 1, 576x752 — model_pix_shuffle.py:348-368,
-optuna_study_opt_act.py:42-108, ...) with one reusable measurement utility
-that reports sustained FPS and latency percentiles, with proper device
-synchronisation (block_until_ready is the TPU analogue of
-torch.cuda.synchronize).
+optuna_study_opt_act.py:42-108, ...) with one measurement utility.
+
+Methodology: **chained dependent calls + periodic host fetch**
+(:func:`measure_chained`). Each iteration consumes the previous iteration's
+output, and a host fetch closes every chunk — the only timing this
+environment's remote-TPU tunnel cannot fool (its ``block_until_ready``
+returns early; naive per-call timing reported an 8192^3 matmul at
+"37 PFLOPS"). :func:`measure_roundtrip` times full host->device->host trips
+per call (deployment-readback realism) by fetching every result.
 """
 from __future__ import annotations
 
@@ -33,89 +38,99 @@ def trace(log_dir: str = "/tmp/jax-trace"):
 @dataclasses.dataclass
 class BenchResult:
     fps: float
-    p50_ms: float
-    p90_ms: float
-    p99_ms: float
-    mean_ms: float
+    ms_per_call: float
     iterations: int
     duration_s: float
     compile_s: float
+    # per-chunk latency percentiles (chunked-chain timing); per-call for
+    # measure_roundtrip
+    p50_ms: float = 0.0
+    p90_ms: float = 0.0
+    p99_ms: float = 0.0
 
     def to_dict(self) -> dict:
         return dataclasses.asdict(self)
 
 
-def measure(
+def _fetch(x) -> None:
+    """Force completion by pulling one element of every output leaf."""
+    for leaf in jax.tree.leaves(x):
+        np.asarray(leaf).ravel()[:1]
+
+
+def measure_chained(
     fn: Callable,
-    *args,
+    x,
+    *,
     warmup: int = 20,
     duration_s: float = 20.0,
+    chunk: int = 20,
     max_iters: Optional[int] = None,
 ) -> BenchResult:
-    """Reference FPS protocol: ``warmup`` untimed calls, then sustained calls
-    for ``duration_s`` seconds (or ``max_iters``), per-call latency recorded.
-
-    ``fn(*args)`` must return jax arrays (blocked on for timing).
-    """
+    """Sustained on-device throughput of ``fn`` whose output feeds its input
+    (same shape/dtype). total_time / N is true per-call latency; chunked
+    fetches bound the async pipeline without paying a round trip per call."""
     t0 = time.perf_counter()
-    out = fn(*args)
-    jax.block_until_ready(out)
+    y = fn(x)
+    _fetch(y)
     compile_s = time.perf_counter() - t0
 
+    acc = x
     for _ in range(max(warmup - 1, 0)):
-        jax.block_until_ready(fn(*args))
+        acc = fn(acc)
+    _fetch(acc)
 
     lat = []
     iters = 0
+    acc = x
     start = time.perf_counter()
     deadline = start + duration_s
     while True:
         t1 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        for _ in range(chunk):
+            acc = fn(acc)
+        _fetch(acc)
         t2 = time.perf_counter()
-        lat.append(t2 - t1)
-        iters += 1
+        lat.append((t2 - t1) / chunk)
+        iters += chunk
         if t2 >= deadline or (max_iters is not None and iters >= max_iters):
             break
     total = time.perf_counter() - start
     lat_ms = np.array(lat) * 1e3
     return BenchResult(
         fps=iters / total,
-        p50_ms=float(np.percentile(lat_ms, 50)),
-        p90_ms=float(np.percentile(lat_ms, 90)),
-        p99_ms=float(np.percentile(lat_ms, 99)),
-        mean_ms=float(lat_ms.mean()),
+        ms_per_call=total / iters * 1e3,
         iterations=iters,
         duration_s=total,
         compile_s=compile_s,
+        p50_ms=float(np.percentile(lat_ms, 50)),
+        p90_ms=float(np.percentile(lat_ms, 90)),
+        p99_ms=float(np.percentile(lat_ms, 99)),
     )
 
 
-def measure_donated(
-    make_fn_and_args: Callable[[], tuple],
-    warmup: int = 20,
-    duration_s: float = 20.0,
+def measure_roundtrip(
+    fn: Callable,
+    *args,
+    warmup: int = 5,
+    duration_s: float = 10.0,
     max_iters: Optional[int] = None,
 ) -> BenchResult:
-    """Like :func:`measure` for functions with donated input buffers: the
-    caller provides a factory returning (fn, fresh_args) and we re-create the
-    donated argument each call (matching the deployment pattern where every
-    frame is a fresh host upload)."""
-    fn, args = make_fn_and_args()
+    """Per-call latency INCLUDING a host fetch of every result — the
+    deployment host->device->host pattern. Honest through the tunnel (the
+    fetch forces completion) but dominated by link RTT on remote setups."""
     t0 = time.perf_counter()
-    jax.block_until_ready(fn(*args))
+    _fetch(fn(*args))
     compile_s = time.perf_counter() - t0
     for _ in range(max(warmup - 1, 0)):
-        fn_, args_ = make_fn_and_args()
-        jax.block_until_ready(fn_(*args_))
+        _fetch(fn(*args))
     lat = []
     iters = 0
     start = time.perf_counter()
     deadline = start + duration_s
     while True:
-        fn_, args_ = make_fn_and_args()
         t1 = time.perf_counter()
-        jax.block_until_ready(fn_(*args_))
+        _fetch(fn(*args))
         t2 = time.perf_counter()
         lat.append(t2 - t1)
         iters += 1
@@ -125,11 +140,11 @@ def measure_donated(
     lat_ms = np.array(lat) * 1e3
     return BenchResult(
         fps=iters / total,
-        p50_ms=float(np.percentile(lat_ms, 50)),
-        p90_ms=float(np.percentile(lat_ms, 90)),
-        p99_ms=float(np.percentile(lat_ms, 99)),
-        mean_ms=float(lat_ms.mean()),
+        ms_per_call=total / iters * 1e3,
         iterations=iters,
         duration_s=total,
         compile_s=compile_s,
+        p50_ms=float(np.percentile(lat_ms, 50)),
+        p90_ms=float(np.percentile(lat_ms, 90)),
+        p99_ms=float(np.percentile(lat_ms, 99)),
     )

@@ -41,6 +41,7 @@ int closest_color_index(const double* pixel, const double* palette, int n) {
 void error_diffusion(double* img, int h, int w, const double* palette,
                      int n_pal, const int* dxs, const int* dys,
                      const double* wgts, int n_diff) {
+  if (n_pal <= 0) return;  // empty palette: nothing to map onto
   for (int y = 0; y < h; ++y) {
     const bool forward = (y % 2 == 0);
     for (int step = 0; step < w; ++step) {

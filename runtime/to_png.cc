@@ -105,10 +105,19 @@ int main(int argc, char** argv) {
   }
   int failures = 0;
   if (dir_mode) {
-    for (const auto& d : inputs)
-      for (const auto& e : fs::directory_iterator(d))
+    for (const auto& d : inputs) {
+      std::error_code ec;
+      fs::directory_iterator it(d, ec);
+      if (ec) {
+        std::fprintf(stderr, "cannot read directory %s: %s\n", d.c_str(),
+                     ec.message().c_str());
+        ++failures;
+        continue;
+      }
+      for (const auto& e : it)
         if (e.path().extension() == ".raw")
           failures += convert(e.path().string(), width, height) ? 0 : 1;
+    }
   } else {
     for (const auto& f : inputs) failures += convert(f, width, height) ? 0 : 1;
   }

@@ -100,7 +100,7 @@ def main() -> int:
 
     onnx_out = os.path.join(out_dir, f"{name}.onnx")
     export_pix_shuffle_onnx(
-        imp.params, m.config, onnx_out, crop_left=0, fp16=True,
+        imp.params, m.config, onnx_out, crop_left=imp.crop_left, fp16=True,
         srgb_to_linear_exponent=imp.srgb_to_linear_exponent,
         linear_to_srgb_exponent=imp.linear_to_srgb_exponent,
     )

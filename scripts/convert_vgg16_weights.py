@@ -29,13 +29,21 @@ def main() -> int:
 
     import numpy as np
 
-    from fs_uae_image_enhancer_project_tpu.losses.vgg import (
-        convert_torchvision_state_dict,
-    )
-
+    # inline numpy-only conversion: importing losses.vgg would pull in jax,
+    # and torch+jax in one process stalls on some machines (CLAUDE.md); this
+    # script must also run where only torchvision exists.
+    conv_indices = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26]
     vgg = tvm.vgg16(weights=tvm.VGG16_Weights.IMAGENET1K_FEATURES)
     state = {k: np.asarray(v.detach()) for k, v in vgg.state_dict().items()}
-    convert_torchvision_state_dict(state, args.out)
+    out = {}
+    for i in conv_indices:
+        w = np.asarray(state[f"features.{i}.weight"], np.float32)
+        out[f"features.{i}.weight"] = np.transpose(w, (2, 3, 1, 0))  # -> HWIO
+        out[f"features.{i}.bias"] = np.asarray(
+            state[f"features.{i}.bias"], np.float32
+        )
+    os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
+    np.savez_compressed(args.out, **out)
     print(f"wrote {args.out}")
     return 0
 
