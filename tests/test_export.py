@@ -233,3 +233,19 @@ def test_runner_slice_steps():
     x = np.arange(8, dtype=np.float32)[None]
     out = run_model(path, {"x": x})["y"]
     np.testing.assert_array_equal(out, x[:, ::-1])
+
+
+def test_export_heavyweight_pix_shuffle(tmp_path):
+    """The emitter handles the heavyweight act set (biased_relu, leaky_relu,
+    prelu, sinlu) and channel-mismatch skip projections."""
+    m = get_model("pix_shuffle", "heavyweight")
+    params = m.init(jax.random.key(4))
+    path = str(tmp_path / "heavy.onnx")
+    export_pix_shuffle_onnx(params, m.config, path, crop_left=0, fp16=False,
+                            frame_h=32, frame_w=64)
+    frame = np.random.default_rng(0).integers(0, 256, (1, 32, 64, 4), np.uint8)
+    y = run_model(path, {"input_rgba_chunky": frame})["output_rgba_uint8_chunky"]
+    enh = make_enhance_fn(m.apply, params, crop_left=0,
+                          compute_dtype=jnp.float32, donate=False)
+    y_jax = np.asarray(enh(jnp.asarray(frame)))
+    assert _psnr(y_jax[..., :3], y[..., :3]) >= 45.0
