@@ -95,6 +95,10 @@ class GeneratorConfig:
     rotations: Sequence[int] = (0,)
     downscales: Sequence[int] = (100,)  # percent; 100 = none
     palette_algorithm: str = "kmeans"
+    # 'numpy' (default; multi-process friendly) or 'pallas' (on-device fused
+    # dither for the vectorizable families — use with workers=1, the single
+    # TPU chip is not shareable across worker processes)
+    quantize_backend: str = "numpy"
     black_ratio_threshold: float = 0.75
     max_crops_per_image: Optional[int] = None  # quota per (image, rot, ds)
     # per-split quotas on unique target crops, 0/None = unlimited
@@ -164,7 +168,7 @@ def save_styled_worker(args) -> Tuple[str, Optional[str]]:
 
     from .quantize import reduce_color_depth_and_dither
 
-    spec_d, combo_d, crop_w, crop_h, palette_algorithm, out_path = args
+    spec_d, combo_d, crop_w, crop_h, palette_algorithm, backend, out_path = args
     try:
         crop = _prepare_base(
             spec_d["image_path"], spec_d["rot_deg"], spec_d["scale_perc"],
@@ -179,6 +183,7 @@ def save_styled_worker(args) -> Tuple[str, Optional[str]]:
             dithering_method=combo_d["dither"],
             palette_algorithm=palette_algorithm,
             verbose=0,
+            backend=backend,
         )
         styled = post_apply_resolution_style(
             Image.fromarray(out), combo_d["resolution"]
@@ -416,7 +421,8 @@ class DatasetGenerator:
             else:
                 styled_jobs.append(
                     (dataclasses.asdict(spec), dataclasses.asdict(combo),
-                     cfg.crop_w, cfg.crop_h, cfg.palette_algorithm, out_path)
+                     cfg.crop_w, cfg.crop_h, cfg.palette_algorithm,
+                     cfg.quantize_backend, out_path)
                 )
 
         done = 0
@@ -525,6 +531,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     ap.add_argument("--rotation", type=int, nargs="*", default=[0])
     ap.add_argument("--downscale", type=int, nargs="*", default=[100])
     ap.add_argument("--palette_algorithm", default="kmeans")
+    ap.add_argument("--quantize_backend", default="numpy",
+                    choices=["numpy", "pallas"],
+                    help="'pallas' runs vectorizable dithers on-device "
+                         "(use with --workers 1)")
     ap.add_argument("--max_crops_per_image", type=int, default=None)
     ap.add_argument("--train_num_crops", type=int, default=0,
                     help="total unique target crops for train (0 = all)")
@@ -549,6 +559,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         rotations=tuple(args.rotation),
         downscales=tuple(args.downscale),
         palette_algorithm=args.palette_algorithm,
+        quantize_backend=args.quantize_backend,
         max_crops_per_image=args.max_crops_per_image,
         train_num_crops=args.train_num_crops or None,
         test_num_crops=args.test_num_crops or None,

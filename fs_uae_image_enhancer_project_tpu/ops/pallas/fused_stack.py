@@ -2,38 +2,48 @@
 
 One kernel runs all 7 convolutions + activations + skips of the production
 model over an H-strip of the half-resolution tensor, so no intermediate
-activation ever round-trips HBM. The conv is expressed as 9 roll-shifted
-(M, Cin) x (Cin, Cout) MXU matmuls over the row-flattened strip:
+activation ever round-trips HBM.
 
-    out[r, c] = sum_{dy, dx} in[r+dy, c+dx-1] @ W[dy, dx]
+Convolution formulation: each layer buffer lives in VMEM scratch with one
+spare zero row on top and one zero column on each side. A 3x3 SAME conv is
+then 9 taps, where tap (dy, dx) of output element m (row-major over
+rows_out x wp) reads flat index ``wp + m + dy*wp + dx - 1`` of the source
+buffer — a *dynamic* contiguous slice per tap, accumulated as
+(M, Cin) x (Cin, Cout) MXU matmuls inside a ``fori_loop``. Every wrapped
+element lands on a zero pad (including the spare top row), making the shifts
+exact SAME boundaries. The loop keeps the Mosaic graph small (one tap body
+instead of 63 unrolled matmuls — the unrolled variant OOM-killed this
+environment's remote AOT compile helper).
 
-With one zero column padded on each side of W and zero pads re-applied after
-every layer, `pltpu.roll` of the flattened (rows*Wp, C) buffer by 1-dx is an
-EXACT SAME-boundary column shift: every wrapped element lands on a zero pad
-(including the two buffer-edge wraps, which land on corner pads).
+Strips carry a 7-row halo per side (one per conv). Per-layer halo re-masking
+(rows outside the image + pad columns zeroed after every layer) restores
+exact per-layer-zero-pad semantics at the image's top/bottom edges — without
+it the halo would carry features-of-zeros (bias + activation != 0).
+The layer-6 concat is computed as a split matmul (two Cin=36 halves summed).
 
-Strips carry a 7-row halo per side (one per conv); per-strip row budget:
-46 in -> conv1 44 -> conv2 42 -> conv3 40 -> conv4 38 -> conv5 36 ->
-conv6 34 -> conv7 32 out. The layer-6 concat is computed as a split matmul
-(two Cin=36 halves summed) to avoid materializing the 72-channel concat.
+Mosaic lowering constraints encoded here (each found the hard way):
+- no rotate for non-32-bit data -> the column shift rolls an fp32 copy;
+- no dynamic_slice on values -> weights are (9, cin, cout) refs indexed on
+  the untiled leading dim; row windows slice the 3D scratch ref's dim 0;
+- merged sublane extents must be 8-aligned -> padded width is rounded to a
+  multiple of 8 (extra zero pad columns keep the roll-wrap exact);
+- lane-dim ref slices must be 128-aligned -> 36-channel intermediates get a
+  dedicated scratch buffer instead of aliasing half of a 72-wide one;
+- Precision.HIGHEST is rejected for bf16 matmul operands.
+The kernel passes all Mosaic lowering checks; the final compiled-TPU
+benchmark is currently blocked by this environment's remote AOT compile
+helper failing in libtpu initialization (infra, not kernel — the previously
+compiled dither kernel fails the same way today). docs/PERF.md tracks it.
 
-Status on this environment (see docs/PERF.md): the kernel is numerically
-validated against the fp32 reference forward (and is MORE accurate than the
-bf16 XLA path — fp32 carries stay in VMEM), but this environment's remote
-TPU compile helper is SIGKILLed compiling the 63-matmul Mosaic graph at any
-strip size (the smaller Pallas dither kernel compiles fine, so this is a
-helper memory cap, not a kernel defect). On a dedicated TPU with in-process
-Mosaic compilation this is the speed-of-light path: it removes ~112 MB/frame
-of inter-layer HBM traffic, which dominates once compute drops to ~0.2 ms on
-full v5e silicon.
-
-Supports the production "lightweight" topology (model_pix_shuffle.py:304-311)
-with its exact activation chain; other configs fall back to the XLA path.
+Numerics: fp32 carries stay in VMEM between layers, so the kernel is MORE
+accurate than the bf16 XLA path (max err 3.8e-4 vs 5.1e-3 against the fp32
+forward). Supports the production "lightweight" topology
+(model_pix_shuffle.py:304-311) with its exact activation chain.
 """
 from __future__ import annotations
 
 import functools
-from typing import Dict, List
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
@@ -44,10 +54,7 @@ from jax.experimental.pallas import tpu as pltpu
 Params = Dict[str, dict]
 
 HALO = 7  # rows per side: one per conv
-STRIP = 16  # output rows per grid step (compile-memory bound on the remote helper)
-
-# (cin, cout) per conv for the lightweight config
-_LIGHT_CHANNELS = [(12, 36), (36, 36), (36, 72), (72, 72), (72, 36), (72, 36), (36, 12)]
+STRIP = 32  # output rows per grid step
 
 
 def supports_config(cfg) -> bool:
@@ -61,48 +68,65 @@ def supports_config(cfg) -> bool:
 # in-kernel building blocks
 # ---------------------------------------------------------------------------
 
-def _conv3x3(x, rows_out, wp, cin, cout, w, b):
-    """x: (rows_out+2, wp, cin) bf16 -> (rows_out, wp, cout) bf16.
+def _conv3x3_ref(src_ref, rows_out: int, wp: int, cin: int, cout: int, w_ref, b):
+    """3x3 SAME conv reading a scratch ref laid out with a spare zero top row.
 
-    w: (9*cin, cout); b: (1, cout). Accumulates fp32 on the MXU.
+    src_ref: (rows_buf, wp, cin) with source rows in [1, rows_out+2].
+    w_ref: (9, cin, cout) VMEM ref (tap k indexed on the untiled leading dim).
+    b: (1, cout) value. Returns (rows_out, wp, cout) fp32.
+
+    Mosaic constraints shape this implementation: dynamic slices on a 2D
+    sublane dim must be tile-aligned (our +-1 column shifts are not), and
+    rotates only exist for 32-bit data — so the row window is sliced on the
+    UNTILED leading dim of the 3D ref, and the column shift is a dynamic
+    `pltpu.roll` of the row-flattened tensor converted to fp32. Every wrapped
+    element lands on a zero pad column, making the shift an exact SAME
+    boundary.
     """
     m = rows_out * wp
+
+    def tap(k, acc):
+        dy = k // 3
+        dx = k % 3
+        x3 = src_ref[pl.ds(1 + dy, rows_out), :, :]  # leading dim: untiled
+        flat = x3.reshape(m, cin).astype(jnp.float32)
+        shift = (m + 1 - dx) % m  # 1, 0 or m-1 (non-negative, dynamic)
+        rolled = pltpu.roll(flat, shift, axis=0)
+        wk = w_ref[k, :, :]
+        # NOTE: no precision= here — Mosaic rejects HIGHEST for bf16
+        # operands ("Bad lhs type"); bf16 x bf16 with fp32
+        # preferred_element_type is already exact MXU accumulation
+        return acc + jax.lax.dot_general(
+            rolled.astype(jnp.bfloat16), wk,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
     acc = jnp.zeros((m, cout), jnp.float32)
-    for dy in range(3):
-        x_dy = x[dy : dy + rows_out].reshape(m, cin)
-        for dx in range(3):
-            # static circular shift by 1-dx rows of the flattened buffer
-            # (Mosaic's rotate doesn't support bf16; slice+concat does)
-            if dx == 1:
-                shifted = x_dy
-            elif dx == 0:  # shifted[m] = x[m-1]
-                shifted = jnp.concatenate([x_dy[m - 1 :], x_dy[: m - 1]], axis=0)
-            else:  # dx == 2: shifted[m] = x[m+1]
-                shifted = jnp.concatenate([x_dy[1:], x_dy[:1]], axis=0)
-            tap = w[(dy * 3 + dx) * cin : (dy * 3 + dx + 1) * cin, :]
-            acc += jax.lax.dot_general(
-                shifted, tap,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+    acc = jax.lax.fori_loop(0, 9, tap, acc)
     acc += b.astype(jnp.float32)
     return acc.reshape(rows_out, wp, cout)
 
 
-def _mask_pads(x, abs_row_start, h_half):
+def _mask_pads(x, abs_row_start, h_half, w_valid):
     """Zero the W pad columns AND any rows outside the image extent.
 
-    Rows outside [HALO, HALO+h_half) in padded coordinates are the H halo:
-    per-layer SAME convolution zero-pads there, but a fused stack would
-    otherwise propagate features-of-zeros (bias + activation != 0) through
-    the halo — masking after every layer restores exact per-layer-zero-pad
-    semantics at the image's top/bottom edges.
-    """
-    wp = x.shape[1]
+    Valid image columns are [1, 1 + w_valid); everything else (the left pad
+    column and the right pad block up to the 8-aligned width) is zeroed."""
     col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
     row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0) + abs_row_start
-    ok = (col > 0) & (col < wp - 1) & (row >= HALO) & (row < HALO + h_half)
+    ok = (
+        (col >= 1) & (col < 1 + w_valid)
+        & (row >= HALO) & (row < HALO + h_half)
+    )
     return jnp.where(ok, x, 0.0).astype(x.dtype)
+
+
+def _store(dst_ref, rows: int, value) -> None:
+    """Write a layer output into rows [1, rows+1) of its scratch buffer and
+    zero the spare top row (wrap reads must see zeros)."""
+    dst_ref[0, :, :] = jnp.zeros(dst_ref.shape[1:], dst_ref.dtype)
+    dst_ref[pl.ds(1, rows), :, :] = value.astype(dst_ref.dtype)
 
 
 def _sinlu(x, a, b):
@@ -141,9 +165,19 @@ def _stack_kernel(
     p7b, p7s,  # l7_act2 biased_prelu (1, 1)
     # output
     out_ref,  # (STRIP, wp, 12) block
+    # scratch (leading spare row each)
+    in_buf,   # (STRIP + 2*HALO + 2, wp, 12) bf16 (spare top + bottom rows)
+    l1_buf,   # (STRIP + 14, wp, 36)
+    l3_buf,   # (STRIP + 10, wp, 72)
+    tmp_a,    # (STRIP + 12, wp, 72)  (ping)
+    tmp_b,    # (STRIP + 6, wp, 36)   (pong, l5)
+    tmp_c,    # (STRIP + 14, wp, 36)  (l2 / aligned-l1: lane-dim ref slices
+              #  of a 72-wide buffer are not tileable, so 36-ch data gets its
+              #  own buffer)
     *,
     wp: int,
     h_half: int,
+    w_valid: int,
 ):
     i = pl.program_id(0)
     base = i * STRIP
@@ -152,47 +186,56 @@ def _stack_kernel(
     def scalar(ref):
         return ref[0, 0].astype(f32)
 
-    # input strip: STRIP + 14 rows starting at i*STRIP in padded coords
-    x = x_ref[pl.ds(i * STRIP, STRIP + 2 * HALO), :, :].astype(jnp.bfloat16)
+    rows_in = STRIP + 2 * HALO
+    _store(in_buf, rows_in, x_ref[pl.ds(base, rows_in), :, :])
 
-    # layer 1: conv + sinlu + relu6 (rows 46 -> 44)
-    t = _conv3x3(x, STRIP + 12, wp, 12, 36, w1[...], b1[...])
+    # layer 1: conv + sinlu + relu6 (rows_in -> STRIP+12)
+    t = _conv3x3_ref(in_buf, STRIP + 12, wp, 12, 36, w1, b1[...])
     t = _relu6(_sinlu(t, scalar(a1a), scalar(a1b)))
-    l1 = _mask_pads(t, base + 1, h_half).astype(jnp.bfloat16)  # (44, wp, 36)
+    l1 = _mask_pads(t, base + 1, h_half, w_valid)
+    _store(l1_buf, STRIP + 12, l1)
 
-    # layer 2: conv + telu, add l1 skip, sinlu + biased_prelu (44 -> 42)
-    t = _conv3x3(l1, STRIP + 10, wp, 36, 36, w2[...], b2[...])
+    # layer 2: conv + telu, add l1 skip, sinlu + biased_prelu (-> STRIP+10)
+    t = _conv3x3_ref(l1_buf, STRIP + 10, wp, 36, 36, w2, b2[...])
     t = _telu(t)
-    t = t + l1[1 : STRIP + 11].astype(f32)
+    t = t + l1[1 : STRIP + 11]
     t = _sinlu(t, scalar(a2a), scalar(a2b))
     t = _biased_prelu(t, p2b[...].astype(f32), p2s[...].astype(f32))
-    l2 = _mask_pads(t, base + 2, h_half).astype(jnp.bfloat16)  # (42, wp, 36)
+    l2 = _mask_pads(t, base + 2, h_half, w_valid)
+    _store(tmp_c, STRIP + 10, l2)
 
-    # layer 3: conv, identity acts (42 -> 40)
-    t = _conv3x3(l2, STRIP + 8, wp, 36, 72, w3[...], b3[...])
-    l3 = _mask_pads(t, base + 3, h_half).astype(jnp.bfloat16)  # (40, wp, 72)
+    # layer 3: conv, identity acts (-> STRIP+8)
+    t = _conv3x3_ref(tmp_c, STRIP + 8, wp, 36, 72, w3, b3[...])
+    l3 = _mask_pads(t, base + 3, h_half, w_valid)
+    _store(l3_buf, STRIP + 8, l3)
 
-    # layer 4: conv + mish + biased_prelu, add l3 skip, tanh + relu (40 -> 38)
-    t = _conv3x3(l3, STRIP + 6, wp, 72, 72, w4[...], b4[...])
+    # layer 4: conv + mish + biased_prelu, add l3 skip, tanh + relu (-> STRIP+6)
+    t = _conv3x3_ref(l3_buf, STRIP + 6, wp, 72, 72, w4, b4[...])
     t = _biased_prelu(_mish(t), p4b[...].astype(f32), p4s[...].astype(f32))
-    t = t + l3[1 : STRIP + 7].astype(f32)
+    t = t + l3[1 : STRIP + 7]
     t = jax.nn.relu(jnp.tanh(t))
-    l4 = _mask_pads(t, base + 4, h_half).astype(jnp.bfloat16)  # (38, wp, 72)
+    l4 = _mask_pads(t, base + 4, h_half, w_valid)
+    _store(tmp_a, STRIP + 6, l4)  # reuse tmp_a for l4 (72 ch)
 
-    # layer 5: conv, identity acts (38 -> 36)
-    t = _conv3x3(l4, STRIP + 4, wp, 72, 36, w5[...], b5[...])
-    l5 = _mask_pads(t, base + 5, h_half).astype(jnp.bfloat16)  # (36, wp, 36)
+    # layer 5: conv, identity acts (-> STRIP+4)
+    t = _conv3x3_ref(tmp_a, STRIP + 4, wp, 72, 36, w5, b5[...])
+    l5 = _mask_pads(t, base + 5, h_half, w_valid)
+    _store(tmp_b, STRIP + 4, l5)
 
-    # layer 6: conv over concat(l1, l5) as split matmuls + mish + relu6 (36 -> 34)
-    ta = _conv3x3(l1[4 : STRIP + 8], STRIP + 2, wp, 36, 36, w6a[...], b6[...])
-    tb = _conv3x3(l5, STRIP + 2, wp, 36, 36, w6b[...], jnp.zeros_like(b6[...]))
+    # layer 6: conv over concat(l1, l5) as split matmuls + mish + relu6 (-> STRIP+2)
+    # align l1 rows: l1_buf row 1+k holds l1[k]; conv6 needs l1[4 + j]
+    _store(tmp_c, STRIP + 4, l1[4 : STRIP + 8])
+    ta = _conv3x3_ref(tmp_c, STRIP + 2, wp, 36, 36, w6a, b6[...])
+    tb = _conv3x3_ref(tmp_b, STRIP + 2, wp, 36, 36, w6b,
+                      jnp.zeros_like(b6[...]))
     t = _relu6(_mish(ta + tb))
-    l6 = _mask_pads(t, base + 6, h_half).astype(jnp.bfloat16)  # (34, wp, 36)
+    l6 = _mask_pads(t, base + 6, h_half, w_valid)
+    _store(tmp_b, STRIP + 2, l6)
 
-    # layer 7: conv + biased_prelu(1) (34 -> 32)
-    t = _conv3x3(l6, STRIP, wp, 36, 12, w7[...], b7[...])
+    # layer 7: conv + biased_prelu(1) (-> STRIP)
+    t = _conv3x3_ref(tmp_b, STRIP, wp, 36, 12, w7, b7[...])
     t = _biased_prelu(t, scalar(p7b), scalar(p7s))
-    out_ref[...] = _mask_pads(t, base + 7, h_half).astype(out_ref.dtype)
+    out_ref[...] = _mask_pads(t, base + 7, h_half, w_valid).astype(out_ref.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -207,9 +250,7 @@ def _prep_weights(params: Params):
         if col_slice is not None:
             w = w[:, :, col_slice, :]
         assert w.shape[2:] == (cin, cout), (name, w.shape)
-        return jnp.asarray(
-            w.reshape(9 * cin, cout), jnp.bfloat16
-        )
+        return jnp.asarray(w.reshape(9, cin, cout), jnp.bfloat16)
 
     def b_of(name, cout):
         return jnp.asarray(
@@ -227,7 +268,7 @@ def _prep_weights(params: Params):
             np.asarray(params[slot][leaf], np.float32).reshape(1, 1), jnp.float32
         )
 
-    args = [
+    return [
         w_of("conv1", 12, 36), b_of("conv1", 36),
         w_of("conv2", 36, 36), b_of("conv2", 36),
         w_of("conv3", 36, 72), b_of("conv3", 72),
@@ -243,25 +284,38 @@ def _prep_weights(params: Params):
         act2d("l4_act2", "bias", 72), act2d("l4_act2", "slope", 72),
         act_scalar("l7_act2", "bias"), act_scalar("l7_act2", "slope"),
     ]
-    return args
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _run_stack(x_padded: jnp.ndarray, *weight_args, interpret: bool):
+@functools.partial(jax.jit, static_argnames=("interpret", "w_valid"))
+def _run_stack(x_padded: jnp.ndarray, *weight_args, interpret: bool,
+               w_valid: int):
     hp, wp, _ = x_padded.shape
     h_out = hp - 2 * HALO
     grid = (h_out // STRIP,)
-    kernel = functools.partial(_stack_kernel, wp=wp, h_half=h_out)
+    kernel = functools.partial(
+        _stack_kernel, wp=wp, h_half=h_out, w_valid=w_valid
+    )
     space = pltpu.ANY if interpret else pltpu.VMEM
     in_specs = [pl.BlockSpec((hp, wp, 12), lambda i: (0, 0, 0), memory_space=space)]
     for arg in weight_args:
         in_specs.append(
             pl.BlockSpec(
                 arg.shape,
-                lambda i, r=len(arg.shape): (0,) * r,  # bind rank per-arg
+                lambda i, r=len(arg.shape): (0,) * r,
                 memory_space=space,
             )
         )
+    # each buffer: spare zero row on top + one extra bottom row so the last
+    # tap's dynamic slice (start 3*wp+1, length R*wp) stays in bounds — a
+    # clamped out-of-bounds slice silently shifts the whole tap by one
+    scratch = [
+        pltpu.VMEM((STRIP + 2 * HALO + 2, wp, 12), jnp.bfloat16),  # in_buf
+        pltpu.VMEM((STRIP + 14, wp, 36), jnp.bfloat16),  # l1_buf
+        pltpu.VMEM((STRIP + 10, wp, 72), jnp.bfloat16),  # l3_buf
+        pltpu.VMEM((STRIP + 12, wp, 72), jnp.bfloat16),  # tmp_a
+        pltpu.VMEM((STRIP + 6, wp, 36), jnp.bfloat16),   # tmp_b
+        pltpu.VMEM((STRIP + 14, wp, 36), jnp.bfloat16),  # tmp_c
+    ]
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((h_out, wp, 12), jnp.bfloat16),
@@ -270,6 +324,7 @@ def _run_stack(x_padded: jnp.ndarray, *weight_args, interpret: bool):
         out_specs=pl.BlockSpec(
             (STRIP, wp, 12), lambda i: (i, 0, 0), memory_space=space
         ),
+        scratch_shapes=scratch,
         interpret=interpret,
     )(x_padded, *weight_args)
 
@@ -291,10 +346,14 @@ def fused_stack_apply(
     identity = x
     u = pixel_unshuffle(x, 2)[0]  # (h/2, w/2, 12)
     u = u.astype(jnp.bfloat16)
-    # pad: HALO zero rows top/bottom, 1 zero column left/right
-    up = jnp.pad(u, ((HALO, HALO), (1, 1), (0, 0)))
+    # pad: HALO zero rows top/bottom; 1 zero column left and enough on the
+    # right to make the padded width a multiple of 8 (Mosaic rejects rolls/
+    # reshapes whose merged sublane extent is unaligned)
+    w_half = u.shape[1]
+    wp = ((w_half + 2 + 7) // 8) * 8
+    up = jnp.pad(u, ((HALO, HALO), (1, wp - w_half - 1), (0, 0)))
     weight_args = _prep_weights(params)
-    y = _run_stack(up, *weight_args, interpret=interpret)
-    y = y[:, 1:-1, :].astype(x.dtype)  # strip W pads
+    y = _run_stack(up, *weight_args, interpret=interpret, w_valid=w_half)
+    y = y[:, 1 : 1 + w_half, :].astype(x.dtype)  # strip W pads
     y = pixel_shuffle(y[None], 2)
     return jax.nn.relu(identity + y)
