@@ -1,0 +1,54 @@
+#!/usr/bin/env python3
+"""Benchmark the fused-stack Pallas kernel vs the XLA path on TPU.
+
+The kernel passes all Mosaic lowering checks; as of round 1 this
+environment's remote AOT compile helper fails in libtpu initialization
+("Failed to find host bounds") for ALL pallas compiles (the dither kernel
+that compiled earlier fails identically), while plain XLA compiles work —
+re-run this script when the helper recovers (docs/PERF.md).
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from fs_uae_image_enhancer_project_tpu.export.onnx_import import (
+        import_pix_shuffle,
+    )
+    from fs_uae_image_enhancer_project_tpu.models import get_model
+    from fs_uae_image_enhancer_project_tpu.ops.pallas.fused_stack import (
+        fused_stack_apply,
+    )
+    from fs_uae_image_enhancer_project_tpu.utils.profiler import measure_chained
+
+    ref = "/root/reference/model/model_pix_shuffle/pix_shuffle.onnx"
+    if os.path.exists(ref):
+        params = import_pix_shuffle(ref).params
+    else:
+        params = get_model("pix_shuffle").init(jax.random.key(0))
+    m = get_model("pix_shuffle")
+
+    x = jnp.asarray(
+        np.random.default_rng(0).uniform(0, 1, (1, 576, 752, 3)).astype(np.float32)
+    )
+    xla_fn = jax.jit(
+        lambda t: m.apply(params, t.astype(jnp.bfloat16)).astype(jnp.float32)
+    )
+    res = measure_chained(xla_fn, x, warmup=5, duration_s=8.0, chunk=50)
+    print(f"xla bf16 model: {res.ms_per_call:.3f} ms ({res.fps:.1f} fps)")
+
+    fused_fn = jax.jit(lambda t: fused_stack_apply(params, t, interpret=False))
+    res = measure_chained(fused_fn, x, warmup=5, duration_s=8.0, chunk=50)
+    print(f"pallas fused stack: {res.ms_per_call:.3f} ms ({res.fps:.1f} fps)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
