@@ -28,6 +28,14 @@ jax.config.update("jax_enable_x64", False)
 import pytest  # noqa: E402
 
 
+def psnr(a, b) -> float:
+    """Shared PSNR helper (peak 255, mse==0 -> 99 dB sentinel)."""
+    import numpy as np
+
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return 99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse)
+
+
 @pytest.fixture(scope="session")
 def devices8():
     devs = jax.devices()

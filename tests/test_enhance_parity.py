@@ -20,9 +20,7 @@ needs_ref = pytest.mark.skipif(
 )
 
 
-def _psnr(a: np.ndarray, b: np.ndarray) -> float:
-    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
-    return 99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse)
+from conftest import psnr as _psnr  # shared helper
 
 
 @needs_ref

@@ -21,9 +21,7 @@ from fs_uae_image_enhancer_project_tpu.export.onnx_runner import (
 REF_ONNX = "/root/reference/model/model_pix_shuffle/pix_shuffle.onnx"
 
 
-def _psnr(a, b):
-    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
-    return 99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse)
+from conftest import psnr as _psnr  # shared helper
 
 
 @pytest.fixture(scope="module")
@@ -211,7 +209,7 @@ def test_export_reimport_roundtrip(exported, tmp_path):
     assert _psnr(out[..., :3], np.asarray(direct(frame))[..., :3]) >= 45.0
 
 
-def test_runner_slice_steps():
+def test_runner_slice_steps(tmp_path):
     """Slice with steps (negative/strided) — review found it silently ignored."""
     from fs_uae_image_enhancer_project_tpu.export.onnx_proto import (
         FLOAT, GraphBuilder,
@@ -225,11 +223,9 @@ def test_runner_slice_steps():
     b.add_initializer("steps", np.array([-1], np.int64))
     b.add_node("Slice", ["x", "starts", "ends", "axes", "steps"], ["y"])
     b.add_output("y", FLOAT, (1, 8))
-    import io, tempfile
-
-    with tempfile.NamedTemporaryFile(suffix=".onnx", delete=False) as f:
+    path = str(tmp_path / "slice.onnx")
+    with open(path, "wb") as f:
         f.write(b.serialize_model())
-        path = f.name
     x = np.arange(8, dtype=np.float32)[None]
     out = run_model(path, {"x": x})["y"]
     np.testing.assert_array_equal(out, x[:, ::-1])

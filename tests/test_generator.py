@@ -142,15 +142,15 @@ def test_rotation_and_downscale():
 
 
 @pytest.mark.parametrize(
-    "style,pre_size,post_restores",
+    "style,pre_size",
     [
-        ("lores", (16, 12), True),
-        ("lores_laced", (16, 24), True),
-        ("hires", (32, 12), True),
-        ("hires_laced", (32, 24), True),
+        ("lores", (16, 12)),
+        ("lores_laced", (16, 24)),
+        ("hires", (32, 12)),
+        ("hires_laced", (32, 24)),
     ],
 )
-def test_resolution_styles(style, pre_size, post_restores):
+def test_resolution_styles(style, pre_size):
     img = Image.new("RGB", (32, 24))
     low = pre_apply_resolution_style(img, style)
     assert low.size == pre_size
@@ -232,7 +232,6 @@ def test_sigint_during_scan_never_deletes(source_tree, monkeypatch):
 
     # run() resets the flag; re-set it via the scan path instead
     g = DatasetGenerator(cfg)
-    orig_scan = g._scan_ground_truth
 
     def interrupted_scan(images):
         gen_mod._stop_requested = True

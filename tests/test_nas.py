@@ -82,7 +82,7 @@ def test_pruning_and_failed_trial_handling(tmp_path):
     study.optimize(obj, n_trials=10, verbose=0)
     states = {t.number: t.state for t in study.trials}
     assert states[5] == FAIL
-    assert any(s == PRUNED for s in states.values()) or True  # may or may not prune
+    assert states[6] == COMPLETE  # the inf trial completes (cleaned below)
     # cleanup of FAIL + non-finite (reference prune_failed_trials.py)
     removed = study.delete_trials()
     assert removed >= 2

@@ -31,8 +31,10 @@ def test_pallas_map_matches_numpy():
     out = pallas_palette_dither(IMG.astype(np.float32), PAL, "none")
     ref = map_to_palette(IMG, PAL)
     assert _match_fraction(out, ref) >= 0.98
-    # every output colour is a palette colour
-    assert all((PAL == c).all(1).any() for c in out.reshape(-1, 3)[:50])
+    # every output colour is a palette colour (all pixels)
+    flat = out.reshape(-1, 3)
+    matches = (flat[:, None, :] == PAL[None]).all(-1).any(-1)
+    assert matches.all()
 
 
 def test_pallas_checkerboard_matches_numpy():

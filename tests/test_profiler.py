@@ -12,8 +12,8 @@ from fs_uae_image_enhancer_project_tpu.utils.profiler import (
 def test_measure_chained_counts_and_percentiles():
     f = jax.jit(lambda x: x * 1.0001)
     x = jnp.ones((64, 64))
-    res = measure_chained(f, x, warmup=2, duration_s=0.2, chunk=5, max_iters=20)
-    assert res.iterations >= 20 and res.iterations % 5 == 0
+    res = measure_chained(f, x, warmup=2, duration_s=60.0, chunk=5, max_iters=20)
+    assert res.iterations == 20
     assert res.fps > 0 and res.ms_per_call > 0
     assert res.p50_ms <= res.p99_ms
     assert res.compile_s >= 0
@@ -22,6 +22,6 @@ def test_measure_chained_counts_and_percentiles():
 def test_measure_roundtrip_counts():
     f = jax.jit(lambda x: x + 1)
     x = jnp.ones((8, 8))
-    res = measure_roundtrip(f, x, warmup=1, duration_s=0.1, max_iters=7)
+    res = measure_roundtrip(f, x, warmup=1, duration_s=60.0, max_iters=7)
     assert res.iterations == 7
     assert np.isfinite(res.p90_ms)

@@ -15,9 +15,7 @@ from fs_uae_image_enhancer_project_tpu.export.streaming import FrameStream
 from fs_uae_image_enhancer_project_tpu.models import get_model
 
 
-def _psnr(a, b):
-    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
-    return 99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse)
+from conftest import psnr as _psnr  # shared helper
 
 
 def test_frame_stream_ordering_and_depth():
