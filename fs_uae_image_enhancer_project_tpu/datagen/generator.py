@@ -517,18 +517,26 @@ def main(argv: Optional[List[str]] = None) -> int:
     ap = argparse.ArgumentParser(description="Idempotent dataset generator")
     ap.add_argument("--train_images", nargs="*", default=[])
     ap.add_argument("--test_images", nargs="*", default=[])
-    ap.add_argument("--dest_dir", required=True)
+    # --destination_dir is the reference's spelling (generator.py:1652)
+    ap.add_argument("--dest_dir", "--destination_dir", dest="dest_dir",
+                    required=True)
     ap.add_argument("--crop_size", type=int, nargs=2, default=[376, 288],
                     metavar=("W", "H"))
     ap.add_argument("--resolution", nargs="*", default=["lores"],
                     choices=SUPPORTED_RESOLUTION_STYLES)
-    ap.add_argument("--colorspace", nargs="*", default=["RGB444"],
+    # --rgb takes bare ints like the reference (e.g. 444 888);
+    # --colorspace takes RGBxxx names
+    ap.add_argument("--colorspace", nargs="*", default=None,
                     choices=VALID_COLOR_SPACES)
+    ap.add_argument("--rgb", type=int, nargs="*", default=None,
+                    help="RGB formats as ints (reference spelling): 444 555 565 666 888")
     ap.add_argument("--palette", type=int, nargs="*", default=[32],
                     help="palette sizes; 0 means no palette reduction")
     ap.add_argument("--dither", nargs="*", default=["none"],
-                    choices=valid_dither_methods())
-    ap.add_argument("--rotation", type=int, nargs="*", default=[0])
+                    help=f"one of {valid_dither_methods()} (case-insensitive; "
+                         "'None' accepted like the reference)")
+    ap.add_argument("--rotation", "--rotate", dest="rotation", type=int,
+                    nargs="*", default=[0])
     ap.add_argument("--downscale", type=int, nargs="*", default=[100])
     ap.add_argument("--palette_algorithm", default="kmeans")
     ap.add_argument("--quantize_backend", default="numpy",
@@ -540,12 +548,25 @@ def main(argv: Optional[List[str]] = None) -> int:
                     help="total unique target crops for train (0 = all)")
     ap.add_argument("--test_num_crops", type=int, default=0,
                     help="total unique target crops for test (0 = all)")
-    ap.add_argument("--workers", type=int, default=None)
+    ap.add_argument("--workers", "--max_workers", dest="workers", type=int,
+                    default=None)
     ap.add_argument("--cache_dir", default=".scan_cache")
     ap.add_argument("--interactive", action="store_true")
     ap.add_argument("--verbose", type=int, default=1)
     args = ap.parse_args(argv)
 
+    if args.colorspace and args.rgb:
+        ap.error("use either --colorspace or --rgb, not both")
+    if args.rgb:
+        colorspaces = tuple(f"RGB{v}" for v in args.rgb)
+    else:
+        colorspaces = tuple(args.colorspace or ["RGB444"])
+    # case-insensitive dither names; the reference spells no-dither 'None'
+    dithers = tuple(d.lower() for d in args.dither)
+    valid = set(valid_dither_methods())
+    for d in dithers:
+        if d not in valid:
+            ap.error(f"unknown dither '{d}' (valid: {sorted(valid)})")
     cfg = GeneratorConfig(
         train_images=args.train_images,
         test_images=args.test_images,
@@ -553,9 +574,9 @@ def main(argv: Optional[List[str]] = None) -> int:
         crop_w=args.crop_size[0],
         crop_h=args.crop_size[1],
         resolutions=tuple(args.resolution),
-        colorspaces=tuple(args.colorspace),
+        colorspaces=colorspaces,
         palettes=tuple(None if p == 0 else p for p in args.palette),
-        dithers=tuple(args.dither),
+        dithers=dithers,
         rotations=tuple(args.rotation),
         downscales=tuple(args.downscale),
         palette_algorithm=args.palette_algorithm,
