@@ -21,6 +21,10 @@ def main(argv: Optional[List[str]] = None) -> int:
             "pix_shuffle", "pix_shuffle_heavy", "conv6", "residual_unet",
         ],
     )
+    # Accepted for drop-in compatibility: the reference parses this flag
+    # (train.py:312) but never reads it anywhere, so we warn and ignore too.
+    ap.add_argument("--edge_checkpoint_path", default=None,
+                    help=argparse.SUPPRESS)
     ap.add_argument("--epochs", type=int, default=10)
     ap.add_argument("--batch_size", type=int, default=1)
     ap.add_argument("--checkpoint_interval", type=int, default=5)
@@ -40,6 +44,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     ap.add_argument("--learning_rate", type=float, default=0.001)
     ap.add_argument("--verbose", type=int, default=1)
     args = ap.parse_args(argv)
+    if args.edge_checkpoint_path is not None and args.verbose >= 1:
+        print("Warning: --edge_checkpoint_path is accepted for compatibility "
+              "but unused (the reference never reads it either).",
+              file=sys.stderr)
 
     from ..data import SRDataset, gather_all_samples_from_directory, split_pairs
     from ..models import get_model
