@@ -54,7 +54,11 @@ from jax.experimental.pallas import tpu as pltpu
 Params = Dict[str, dict]
 
 HALO = 7  # rows per side: one per conv
-STRIP = 32  # output rows per grid step
+# Output rows per grid step. 16 (not 32) because Mosaic's scoped-vmem
+# scheduler keeps whole unrolled-tap temporaries live: at STRIP=32 the
+# kernel needs >100MB of scoped vmem regardless of the configured limit
+# (usage grows to fill whatever headroom it gets); at 16 it fits.
+STRIP = 16
 
 
 def supports_config(cfg) -> bool:
@@ -326,6 +330,10 @@ def _run_stack(x_padded: jnp.ndarray, *weight_args, interpret: bool,
         ),
         scratch_shapes=scratch,
         interpret=interpret,
+        # full-frame input block + double buffering + scratch is ~25MB —
+        # above the 16MB default scoped-vmem limit but well inside the
+        # chip's 128MiB VMEM
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
     )(x_padded, *weight_args)
 
 

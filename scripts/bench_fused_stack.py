@@ -1,11 +1,8 @@
 #!/usr/bin/env python3
 """Benchmark the fused-stack Pallas kernel vs the XLA path on TPU.
 
-The kernel passes all Mosaic lowering checks; as of round 1 this
-environment's remote AOT compile helper fails in libtpu initialization
-("Failed to find host bounds") for ALL pallas compiles (the dither kernel
-that compiled earlier fails identically), while plain XLA compiles work —
-re-run this script when the helper recovers (docs/PERF.md).
+Also checks both paths' accuracy on-device against the fp32 XLA forward.
+Numbers land in docs/PERF.md.
 """
 import os
 import sys
@@ -41,10 +38,15 @@ def main() -> int:
     xla_fn = jax.jit(
         lambda t: m.apply(params, t.astype(jnp.bfloat16)).astype(jnp.float32)
     )
+    fused_fn = jax.jit(lambda t: fused_stack_apply(params, t, interpret=False))
+    truth = np.asarray(jax.jit(lambda t: m.apply(params, t))(x))
+    for name, fn in [("xla bf16", xla_fn), ("pallas fused", fused_fn)]:
+        err = np.abs(np.asarray(fn(x)) - truth)
+        print(f"{name} vs fp32: max err {err.max():.2e} mean {err.mean():.2e}")
+
     res = measure_chained(xla_fn, x, warmup=5, duration_s=8.0, chunk=50)
     print(f"xla bf16 model: {res.ms_per_call:.3f} ms ({res.fps:.1f} fps)")
 
-    fused_fn = jax.jit(lambda t: fused_stack_apply(params, t, interpret=False))
     res = measure_chained(fused_fn, x, warmup=5, duration_s=8.0, chunk=50)
     print(f"pallas fused stack: {res.ms_per_call:.3f} ms ({res.fps:.1f} fps)")
     return 0
