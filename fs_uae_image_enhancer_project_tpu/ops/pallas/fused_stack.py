@@ -58,7 +58,7 @@ HALO = 7  # rows per side: one per conv
 # scheduler keeps whole unrolled-tap temporaries live: at STRIP=32 the
 # kernel needs >100MB of scoped vmem regardless of the configured limit
 # (usage grows to fill whatever headroom it gets); at 16 it fits.
-STRIP = 16
+STRIP = 24
 
 
 def supports_config(cfg) -> bool:
@@ -75,39 +75,47 @@ def supports_config(cfg) -> bool:
 def _conv3x3_ref(src_ref, rows_out: int, wp: int, cin: int, cout: int, w_ref, b):
     """3x3 SAME conv reading a scratch ref laid out with a spare zero top row.
 
-    src_ref: (rows_buf, wp, cin) with source rows in [1, rows_out+2].
-    w_ref: (9, cin, cout) VMEM ref (tap k indexed on the untiled leading dim).
+    src_ref: (rows_buf, wp, cin) with source rows in [1, rows_out+2]; rows 0
+    and rows_out+3.. are zero (spare top/bottom rows, see _store).
+    w_ref: (9*cin, cout) VMEM ref — im2col weight layout, rows k=dy*3+dx
+    then cin (host-flattened in _prep_weights).
     b: (1, cout) value. Returns (rows_out, wp, cout) fp32.
 
-    Mosaic constraints shape this implementation: dynamic slices on a 2D
-    sublane dim must be tile-aligned (our +-1 column shifts are not), and
-    rotates only exist for 32-bit data — so the row window is sliced on the
-    UNTILED leading dim of the 3D ref, and the column shift is a dynamic
-    `pltpu.roll` of the row-flattened tensor converted to fp32. Every wrapped
-    element lands on a zero pad column, making the shift an exact SAME
-    boundary.
+    Formulation: in-VMEM im2col. The WHOLE buffer is flattened row-major once
+    and rolled once per column offset dx (3 static-shift rolls); each row
+    offset dy is a free static tile-aligned value slice (start (1+dy)*wp, wp
+    a multiple of 8). The 9 tap windows concatenate on the lane axis into one
+    (m, 9*cin) operand feeding a SINGLE MXU matmul with K=9*cin (108..648) —
+    deep enough to keep the systolic array's K dimension busy, vs 9 skinny
+    K=cin matmuls (2.4x slower end-to-end, measured).
+    Every element a wrapped/shifted window touches outside the written rows
+    lands on a zero pad (spare rows or pad columns), making the shifts exact
+    SAME boundaries. Mosaic constraints: rotates only exist for 32-bit data
+    (roll the fp32 copy), value slices must be tile-aligned, and
+    Precision.HIGHEST is rejected for bf16 matmul operands (bf16 x bf16 with
+    fp32 preferred_element_type is already exact MXU accumulation).
     """
+    rows_buf = src_ref.shape[0]
+    M = rows_buf * wp
     m = rows_out * wp
-
-    def tap(k, acc):
-        dy = k // 3
-        dx = k % 3
-        x3 = src_ref[pl.ds(1 + dy, rows_out), :, :]  # leading dim: untiled
-        flat = x3.reshape(m, cin).astype(jnp.float32)
-        shift = (m + 1 - dx) % m  # 1, 0 or m-1 (non-negative, dynamic)
-        rolled = pltpu.roll(flat, shift, axis=0)
-        wk = w_ref[k, :, :]
-        # NOTE: no precision= here — Mosaic rejects HIGHEST for bf16
-        # operands ("Bad lhs type"); bf16 x bf16 with fp32
-        # preferred_element_type is already exact MXU accumulation
-        return acc + jax.lax.dot_general(
-            rolled.astype(jnp.bfloat16), wk,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+    flat = src_ref[...].reshape(M, cin).astype(jnp.float32)
+    rolled = [
+        pltpu.roll(flat, (M + 1 - dx) % M, axis=0).astype(jnp.bfloat16)
+        for dx in range(3)
+    ]
+    windows = [
+        jax.lax.slice(
+            rolled[k % 3],  # dx
+            ((1 + k // 3) * wp, 0), ((1 + k // 3) * wp + m, cin),
         )
-
-    acc = jnp.zeros((m, cout), jnp.float32)
-    acc = jax.lax.fori_loop(0, 9, tap, acc)
+        for k in range(9)  # k = dy*3 + dx, matching the host weight layout
+    ]
+    op = jnp.concatenate(windows, axis=1)  # (m, 9*cin) im2col operand
+    acc = jax.lax.dot_general(
+        op, w_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
     acc += b.astype(jnp.float32)
     return acc.reshape(rows_out, wp, cout)
 
@@ -128,9 +136,13 @@ def _mask_pads(x, abs_row_start, h_half, w_valid):
 
 def _store(dst_ref, rows: int, value) -> None:
     """Write a layer output into rows [1, rows+1) of its scratch buffer and
-    zero the spare top row (wrap reads must see zeros)."""
-    dst_ref[0, :, :] = jnp.zeros(dst_ref.shape[1:], dst_ref.dtype)
+    zero the spare top AND bottom rows (the full-buffer roll in _conv3x3_ref
+    wraps shifted windows into them, so they must read as zeros)."""
+    zero_row = jnp.zeros(dst_ref.shape[1:], dst_ref.dtype)
+    dst_ref[0, :, :] = zero_row
     dst_ref[pl.ds(1, rows), :, :] = value.astype(dst_ref.dtype)
+    for r in range(rows + 1, dst_ref.shape[0]):
+        dst_ref[r, :, :] = zero_row
 
 
 def _sinlu(x, a, b):
@@ -254,7 +266,10 @@ def _prep_weights(params: Params):
         if col_slice is not None:
             w = w[:, :, col_slice, :]
         assert w.shape[2:] == (cin, cout), (name, w.shape)
-        return jnp.asarray(w.reshape(9, cin, cout), jnp.bfloat16)
+        # (9*cin, cout) im2col layout, rows ordered k=dy*3+dx then cin —
+        # flattened on the HOST because an in-kernel (9,cin,cout)->(9cin,cout)
+        # reshape merges sublane extents of cin, which is not 8-aligned
+        return jnp.asarray(w.reshape(9 * cin, cout), jnp.bfloat16)
 
     def b_of(name, cout):
         return jnp.asarray(
