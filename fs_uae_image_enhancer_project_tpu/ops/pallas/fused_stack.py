@@ -4,16 +4,14 @@ One kernel runs all 7 convolutions + activations + skips of the production
 model over an H-strip of the half-resolution tensor, so no intermediate
 activation ever round-trips HBM.
 
-Convolution formulation: each layer buffer lives in VMEM scratch with one
-spare zero row on top and one zero column on each side. A 3x3 SAME conv is
-then 9 taps, where tap (dy, dx) of output element m (row-major over
-rows_out x wp) reads flat index ``wp + m + dy*wp + dx - 1`` of the source
-buffer — a *dynamic* contiguous slice per tap, accumulated as
-(M, Cin) x (Cin, Cout) MXU matmuls inside a ``fori_loop``. Every wrapped
-element lands on a zero pad (including the spare top row), making the shifts
-exact SAME boundaries. The loop keeps the Mosaic graph small (one tap body
-instead of 63 unrolled matmuls — the unrolled variant OOM-killed this
-environment's remote AOT compile helper).
+Convolution formulation: in-VMEM im2col. Each layer buffer lives in VMEM
+scratch with spare zero rows top/bottom and one zero column on each side.
+The buffer is flattened row-major, rolled once per column offset (wraps land
+on zero pads, so the shifts are exact SAME boundaries), the three row
+offsets are static tile-aligned slices, and the 9 tap windows concatenate on
+the lane axis into one (m, 9*cin) operand feeding a single MXU matmul with
+K=9*cin per layer. See _conv3x3_ref for the measured history (9 skinny
+matmuls -> 3-roll -> im2col: 20.7 -> 13.3 -> 8.5 ms/frame on v5e).
 
 Strips carry a 7-row halo per side (one per conv). Per-layer halo re-masking
 (rows outside the image + pad columns zeroed after every layer) restores
@@ -30,15 +28,14 @@ Mosaic lowering constraints encoded here (each found the hard way):
 - lane-dim ref slices must be 128-aligned -> 36-channel intermediates get a
   dedicated scratch buffer instead of aliasing half of a 72-wide one;
 - Precision.HIGHEST is rejected for bf16 matmul operands.
-The kernel passes all Mosaic lowering checks; the final compiled-TPU
-benchmark is currently blocked by this environment's remote AOT compile
-helper failing in libtpu initialization (infra, not kernel — the previously
-compiled dither kernel fails the same way today). docs/PERF.md tracks it.
+Compiled and measured on TPU v5e: 8.5 ms/frame vs 7.0 ms for the XLA conv
+lowering in the same run, at identical on-device accuracy (docs/PERF.md).
 
-Numerics: fp32 carries stay in VMEM between layers, so the kernel is MORE
-accurate than the bf16 XLA path (max err 3.8e-4 vs 5.1e-3 against the fp32
-forward). Supports the production "lightweight" topology
-(model_pix_shuffle.py:304-311) with its exact activation chain.
+Numerics: fp32 carries stay in VMEM between layers, so the kernel is
+internally more accurate than the bf16 XLA path; the bf16 output block spec
+makes the end-to-end error match it (max 5.2e-3 on-device). Supports the
+production "lightweight" topology (model_pix_shuffle.py:304-311) with its
+exact activation chain.
 """
 from __future__ import annotations
 
@@ -54,10 +51,11 @@ from jax.experimental.pallas import tpu as pltpu
 Params = Dict[str, dict]
 
 HALO = 7  # rows per side: one per conv
-# Output rows per grid step. 16 (not 32) because Mosaic's scoped-vmem
-# scheduler keeps whole unrolled-tap temporaries live: at STRIP=32 the
-# kernel needs >100MB of scoped vmem regardless of the configured limit
-# (usage grows to fill whatever headroom it gets); at 16 it fits.
+# Output rows per grid step. Tuned on hardware: 16/24 compile and run
+# (13.3/8.5 ms with the im2col formulation); 32 trips Mosaic's scoped-vmem
+# scheduler (its stack grows to fill ANY configured vmem_limit_bytes —
+# 24.75M used at a 16M limit, 106-109M at 100M); 48's Mosaic compile
+# exceeds 30 minutes. 24 is the sweet spot.
 STRIP = 24
 
 
