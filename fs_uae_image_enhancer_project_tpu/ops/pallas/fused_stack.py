@@ -13,11 +13,15 @@ the lane axis into one (m, 9*cin) operand feeding a single MXU matmul with
 K=9*cin per layer. See _conv3x3_ref for the measured history (9 skinny
 matmuls -> 3-roll -> im2col: 20.7 -> 13.3 -> 8.5 ms/frame on v5e).
 
-Strips carry a 7-row halo per side (one per conv). Per-layer halo re-masking
-(rows outside the image + pad columns zeroed after every layer) restores
-exact per-layer-zero-pad semantics at the image's top/bottom edges — without
-it the halo would carry features-of-zeros (bias + activation != 0).
-The layer-6 concat is computed as a split matmul (two Cin=36 halves summed).
+Strips are pipelined: scratch persists across the sequential grid steps, so
+each layer carries its last rows (2; 10 for l1, which feeds layer 6's long
+skip) to the next strip and steady-state strips compute exactly STRIP new
+rows per layer — zero halo recompute. The first strip primes the carries
+with a full 7-row-halo pass. Per-layer re-masking (rows outside the image +
+pad columns zeroed after every layer) restores exact per-layer-zero-pad
+semantics at the image's top/bottom edges — without it out-of-image rows
+would carry features-of-zeros (bias + activation != 0). The layer-6 concat
+is computed as a split matmul (two Cin=36 halves summed).
 
 Mosaic lowering constraints encoded here (each found the hard way):
 - no rotate for non-32-bit data -> the column shift rolls an fp32 copy;
@@ -28,8 +32,10 @@ Mosaic lowering constraints encoded here (each found the hard way):
 - lane-dim ref slices must be 128-aligned -> 36-channel intermediates get a
   dedicated scratch buffer instead of aliasing half of a 72-wide one;
 - Precision.HIGHEST is rejected for bf16 matmul operands.
-Compiled and measured on TPU v5e: 8.5 ms/frame vs 7.0 ms for the XLA conv
-lowering in the same run, at identical on-device accuracy (docs/PERF.md).
+Compiled and measured on TPU v5e: 8.6 ms/frame vs 6.9 ms for the XLA conv
+lowering in the same run. The structural limit is MXU lane utilization
+(N = cout = 36/72 of 128) — see docs/PERF.md for the optimization history
+and the FLOP-bound vs lane-bound diagnostic.
 
 Numerics: fp32 carries stay in VMEM between layers, so the kernel is
 internally more accurate than the bf16 XLA path; the bf16 output block spec
@@ -70,11 +76,15 @@ def supports_config(cfg) -> bool:
 # in-kernel building blocks
 # ---------------------------------------------------------------------------
 
-def _conv3x3_ref(src_ref, rows_out: int, wp: int, cin: int, cout: int, w_ref, b):
+def _conv3x3_ref(src_ref, src_row0: int, rows_out: int, wp: int,
+                 cin: int, cout: int, w_ref, b):
     """3x3 SAME conv reading a scratch ref laid out with a spare zero top row.
 
-    src_ref: (rows_buf, wp, cin) with source rows in [1, rows_out+2]; rows 0
-    and rows_out+3.. are zero (spare top/bottom rows, see _store).
+    src_ref: (rows_buf, wp, cin) with source rows at [src_row0-1ish..]: the
+    conv consumes rows [src_row0+dy, src_row0+dy+rows_out) for dy in 0..2;
+    row 0 and the rows below the written region are zero and every written
+    row has zeroed pad columns (see _store/_mask_pads), which is what makes
+    the rolled windows' wrap/shift elements exact SAME-pad zeros.
     w_ref: (9*cin, cout) VMEM ref — im2col weight layout, rows k=dy*3+dx
     then cin (host-flattened in _prep_weights).
     b: (1, cout) value. Returns (rows_out, wp, cout) fp32.
@@ -104,7 +114,7 @@ def _conv3x3_ref(src_ref, rows_out: int, wp: int, cin: int, cout: int, w_ref, b)
     windows = [
         jax.lax.slice(
             rolled[k % 3],  # dx
-            ((1 + k // 3) * wp, 0), ((1 + k // 3) * wp + m, cin),
+            ((src_row0 + k // 3) * wp, 0), ((src_row0 + k // 3) * wp + m, cin),
         )
         for k in range(9)  # k = dy*3 + dx, matching the host weight layout
     ]
@@ -132,15 +142,25 @@ def _mask_pads(x, abs_row_start, h_half, w_valid):
     return jnp.where(ok, x, 0.0).astype(x.dtype)
 
 
-def _store(dst_ref, rows: int, value) -> None:
-    """Write a layer output into rows [1, rows+1) of its scratch buffer and
-    zero the spare top AND bottom rows (the full-buffer roll in _conv3x3_ref
-    wraps shifted windows into them, so they must read as zeros)."""
+def _store(dst_ref, start: int, rows: int, value) -> None:
+    """Write a layer output into rows [start, start+rows) of its scratch
+    buffer, zero the spare top row and everything below the write (the
+    full-buffer roll in _conv3x3_ref wraps shifted windows into them, so
+    they must read as zeros). Rows [1, start) are carry rows preserved from
+    the previous grid step."""
     zero_row = jnp.zeros(dst_ref.shape[1:], dst_ref.dtype)
     dst_ref[0, :, :] = zero_row
-    dst_ref[pl.ds(1, rows), :, :] = value.astype(dst_ref.dtype)
-    for r in range(rows + 1, dst_ref.shape[0]):
+    dst_ref[pl.ds(start, rows), :, :] = value.astype(dst_ref.dtype)
+    for r in range(start + rows, dst_ref.shape[0]):
         dst_ref[r, :, :] = zero_row
+
+
+def _carry(dst_ref, src_start: int, n: int) -> None:
+    """Copy rows [src_start, src_start+n) to [1, 1+n): the inter-strip carry
+    that lets the next grid step reuse this step's last rows instead of
+    recomputing a halo."""
+    v = dst_ref[pl.ds(src_start, n), :, :]
+    dst_ref[pl.ds(1, n), :, :] = v
 
 
 def _sinlu(x, a, b):
@@ -179,15 +199,17 @@ def _stack_kernel(
     p7b, p7s,  # l7_act2 biased_prelu (1, 1)
     # output
     out_ref,  # (STRIP, wp, 12) block
-    # scratch (leading spare row each)
-    in_buf,   # (STRIP + 2*HALO + 2, wp, 12) bf16 (spare top + bottom rows)
+    # scratch — persists across the (sequential) grid steps; carry rows live
+    # at [1, start): 2 per buffer, 10 for l1 (consumed by layer 6 five
+    # layers later, so it needs a 2*(6-1)-row carry)
+    in_buf,   # (STRIP + 16, wp, 12) bf16
     l1_buf,   # (STRIP + 14, wp, 36)
     l3_buf,   # (STRIP + 10, wp, 72)
-    tmp_a,    # (STRIP + 12, wp, 72)  (ping)
-    tmp_b,    # (STRIP + 6, wp, 36)   (pong, l5)
-    tmp_c,    # (STRIP + 14, wp, 36)  (l2 / aligned-l1: lane-dim ref slices
-              #  of a 72-wide buffer are not tileable, so 36-ch data gets its
-              #  own buffer)
+    tmp_a,    # (STRIP + 8, wp, 72)   (l4)
+    tmp_b,    # (STRIP + 6, wp, 36)   (l5)
+    tmp_c,    # (STRIP + 12, wp, 36)  (l2: lane-dim ref slices of a 72-wide
+              #  buffer are not tileable, so 36-ch data gets its own buffer)
+    l6_buf,   # (STRIP + 4, wp, 36)
     *,
     wp: int,
     h_half: int,
@@ -195,61 +217,138 @@ def _stack_kernel(
 ):
     i = pl.program_id(0)
     base = i * STRIP
+    S = STRIP
     f32 = jnp.float32
 
     def scalar(ref):
         return ref[0, 0].astype(f32)
 
-    rows_in = STRIP + 2 * HALO
-    _store(in_buf, rows_in, x_ref[pl.ds(base, rows_in), :, :])
+    @pl.when(i == 0)
+    def _first_strip():
+        # Prime the pipeline: compute with full 7-row halos (layer L covers
+        # absolute rows [L, L + S + 2*(7-L))), like a standalone strip.
+        _store(in_buf, 1, S + 14, x_ref[pl.ds(0, S + 14), :, :])
 
-    # layer 1: conv + sinlu + relu6 (rows_in -> STRIP+12)
-    t = _conv3x3_ref(in_buf, STRIP + 12, wp, 12, 36, w1, b1[...])
-    t = _relu6(_sinlu(t, scalar(a1a), scalar(a1b)))
-    l1 = _mask_pads(t, base + 1, h_half, w_valid)
-    _store(l1_buf, STRIP + 12, l1)
+        # layer 1: conv + sinlu + relu6
+        t = _conv3x3_ref(in_buf, 1, S + 12, wp, 12, 36, w1, b1[...])
+        t = _relu6(_sinlu(t, scalar(a1a), scalar(a1b)))
+        l1 = _mask_pads(t, 1, h_half, w_valid)
+        _store(l1_buf, 1, S + 12, l1)
 
-    # layer 2: conv + telu, add l1 skip, sinlu + biased_prelu (-> STRIP+10)
-    t = _conv3x3_ref(l1_buf, STRIP + 10, wp, 36, 36, w2, b2[...])
-    t = _telu(t)
-    t = t + l1[1 : STRIP + 11]
-    t = _sinlu(t, scalar(a2a), scalar(a2b))
-    t = _biased_prelu(t, p2b[...].astype(f32), p2s[...].astype(f32))
-    l2 = _mask_pads(t, base + 2, h_half, w_valid)
-    _store(tmp_c, STRIP + 10, l2)
+        # layer 2: conv + telu, add l1 skip, sinlu + biased_prelu
+        t = _conv3x3_ref(l1_buf, 1, S + 10, wp, 36, 36, w2, b2[...])
+        t = _telu(t)
+        t = t + l1[1 : S + 11]
+        t = _sinlu(t, scalar(a2a), scalar(a2b))
+        t = _biased_prelu(t, p2b[...].astype(f32), p2s[...].astype(f32))
+        l2 = _mask_pads(t, 2, h_half, w_valid)
+        _store(tmp_c, 1, S + 10, l2)
 
-    # layer 3: conv, identity acts (-> STRIP+8)
-    t = _conv3x3_ref(tmp_c, STRIP + 8, wp, 36, 72, w3, b3[...])
-    l3 = _mask_pads(t, base + 3, h_half, w_valid)
-    _store(l3_buf, STRIP + 8, l3)
+        # layer 3: conv, identity acts
+        t = _conv3x3_ref(tmp_c, 1, S + 8, wp, 36, 72, w3, b3[...])
+        l3 = _mask_pads(t, 3, h_half, w_valid)
+        _store(l3_buf, 1, S + 8, l3)
 
-    # layer 4: conv + mish + biased_prelu, add l3 skip, tanh + relu (-> STRIP+6)
-    t = _conv3x3_ref(l3_buf, STRIP + 6, wp, 72, 72, w4, b4[...])
-    t = _biased_prelu(_mish(t), p4b[...].astype(f32), p4s[...].astype(f32))
-    t = t + l3[1 : STRIP + 7]
-    t = jax.nn.relu(jnp.tanh(t))
-    l4 = _mask_pads(t, base + 4, h_half, w_valid)
-    _store(tmp_a, STRIP + 6, l4)  # reuse tmp_a for l4 (72 ch)
+        # layer 4: conv + mish + biased_prelu, add l3 skip, tanh + relu
+        t = _conv3x3_ref(l3_buf, 1, S + 6, wp, 72, 72, w4, b4[...])
+        t = _biased_prelu(_mish(t), p4b[...].astype(f32), p4s[...].astype(f32))
+        t = t + l3[1 : S + 7]
+        t = jax.nn.relu(jnp.tanh(t))
+        l4 = _mask_pads(t, 4, h_half, w_valid)
+        _store(tmp_a, 1, S + 6, l4)
 
-    # layer 5: conv, identity acts (-> STRIP+4)
-    t = _conv3x3_ref(tmp_a, STRIP + 4, wp, 72, 36, w5, b5[...])
-    l5 = _mask_pads(t, base + 5, h_half, w_valid)
-    _store(tmp_b, STRIP + 4, l5)
+        # layer 5: conv, identity acts
+        t = _conv3x3_ref(tmp_a, 1, S + 4, wp, 72, 36, w5, b5[...])
+        l5 = _mask_pads(t, 5, h_half, w_valid)
+        _store(tmp_b, 1, S + 4, l5)
 
-    # layer 6: conv over concat(l1, l5) as split matmuls + mish + relu6 (-> STRIP+2)
-    # align l1 rows: l1_buf row 1+k holds l1[k]; conv6 needs l1[4 + j]
-    _store(tmp_c, STRIP + 4, l1[4 : STRIP + 8])
-    ta = _conv3x3_ref(tmp_c, STRIP + 2, wp, 36, 36, w6a, b6[...])
-    tb = _conv3x3_ref(tmp_b, STRIP + 2, wp, 36, 36, w6b,
-                      jnp.zeros_like(b6[...]))
-    t = _relu6(_mish(ta + tb))
-    l6 = _mask_pads(t, base + 6, h_half, w_valid)
-    _store(tmp_b, STRIP + 2, l6)
+        # layer 6: conv over concat(l1, l5) as split matmuls + mish + relu6
+        # (the long-skip half reads l1_buf directly at row offset 5:
+        # l1_buf row 5+k holds l1 absolute row 4+k+1)
+        ta = _conv3x3_ref(l1_buf, 5, S + 2, wp, 36, 36, w6a, b6[...])
+        tb = _conv3x3_ref(tmp_b, 1, S + 2, wp, 36, 36, w6b,
+                          jnp.zeros_like(b6[...]))
+        t = _relu6(_mish(ta + tb))
+        l6 = _mask_pads(t, 6, h_half, w_valid)
+        _store(l6_buf, 1, S + 2, l6)
 
-    # layer 7: conv + biased_prelu(1) (-> STRIP)
-    t = _conv3x3_ref(tmp_b, STRIP, wp, 36, 12, w7, b7[...])
-    t = _biased_prelu(t, scalar(p7b), scalar(p7s))
-    out_ref[...] = _mask_pads(t, base + 7, h_half, w_valid).astype(out_ref.dtype)
+        # layer 7: conv + biased_prelu(1)
+        t = _conv3x3_ref(l6_buf, 1, S, wp, 36, 12, w7, b7[...])
+        t = _biased_prelu(t, scalar(p7b), scalar(p7s))
+        out_ref[...] = _mask_pads(t, 7, h_half, w_valid).astype(out_ref.dtype)
+
+        # save carries: each layer's last rows are exactly what the steady
+        # state expects at [1, 1+n) next step
+        _carry(l1_buf, S + 3, 10)
+        _carry(tmp_c, S + 9, 2)
+        _carry(l3_buf, S + 7, 2)
+        _carry(tmp_a, S + 5, 2)
+        _carry(tmp_b, S + 3, 2)
+        _carry(l6_buf, S + 1, 2)
+
+    @pl.when(i > 0)
+    def _steady_strip():
+        # Steady state: every layer computes exactly S new rows (layer L
+        # covers absolute rows [base + 14 - L, +S)); the 2 rows of context a
+        # 3x3 conv needs beyond its consumer's extent come from the carry.
+        _store(in_buf, 1, S + 2, x_ref[pl.ds(base + 12, S + 2), :, :])
+
+        # layer 1 (abs rows base+13..)
+        t = _conv3x3_ref(in_buf, 1, S, wp, 12, 36, w1, b1[...])
+        t = _relu6(_sinlu(t, scalar(a1a), scalar(a1b)))
+        l1 = _mask_pads(t, base + 13, h_half, w_valid)
+        _store(l1_buf, 11, S, l1)
+
+        # layer 2 (abs base+12..): conv over carry+new l1; the skip add needs
+        # one carried row, so it reads the buffer, not this step's value
+        t = _conv3x3_ref(l1_buf, 9, S, wp, 36, 36, w2, b2[...])
+        t = _telu(t)
+        t = t + l1_buf[pl.ds(10, S), :, :].astype(f32)
+        t = _sinlu(t, scalar(a2a), scalar(a2b))
+        t = _biased_prelu(t, p2b[...].astype(f32), p2s[...].astype(f32))
+        l2 = _mask_pads(t, base + 12, h_half, w_valid)
+        _store(tmp_c, 3, S, l2)
+
+        # layer 3 (abs base+11..)
+        t = _conv3x3_ref(tmp_c, 1, S, wp, 36, 72, w3, b3[...])
+        l3 = _mask_pads(t, base + 11, h_half, w_valid)
+        _store(l3_buf, 3, S, l3)
+
+        # layer 4 (abs base+10..): skip add reads one carried l3 row
+        t = _conv3x3_ref(l3_buf, 1, S, wp, 72, 72, w4, b4[...])
+        t = _biased_prelu(_mish(t), p4b[...].astype(f32), p4s[...].astype(f32))
+        t = t + l3_buf[pl.ds(2, S), :, :].astype(f32)
+        t = jax.nn.relu(jnp.tanh(t))
+        l4 = _mask_pads(t, base + 10, h_half, w_valid)
+        _store(tmp_a, 3, S, l4)
+
+        # layer 5 (abs base+9..)
+        t = _conv3x3_ref(tmp_a, 1, S, wp, 72, 36, w5, b5[...])
+        l5 = _mask_pads(t, base + 9, h_half, w_valid)
+        _store(tmp_b, 3, S, l5)
+
+        # layer 6 (abs base+8..): long-skip half reads l1_buf at row offset 5
+        # (abs base+7 = carry row 4)
+        ta = _conv3x3_ref(l1_buf, 5, S, wp, 36, 36, w6a, b6[...])
+        tb = _conv3x3_ref(tmp_b, 1, S, wp, 36, 36, w6b,
+                          jnp.zeros_like(b6[...]))
+        t = _relu6(_mish(ta + tb))
+        l6 = _mask_pads(t, base + 8, h_half, w_valid)
+        _store(l6_buf, 3, S, l6)
+
+        # layer 7 (abs base+7.. = output strip i)
+        t = _conv3x3_ref(l6_buf, 1, S, wp, 36, 12, w7, b7[...])
+        t = _biased_prelu(t, scalar(p7b), scalar(p7s))
+        out_ref[...] = _mask_pads(t, base + 7, h_half, w_valid).astype(
+            out_ref.dtype
+        )
+
+        _carry(l1_buf, S + 1, 10)
+        _carry(tmp_c, S + 1, 2)
+        _carry(l3_buf, S + 1, 2)
+        _carry(tmp_a, S + 1, 2)
+        _carry(tmp_b, S + 1, 2)
+        _carry(l6_buf, S + 1, 2)
 
 
 # ---------------------------------------------------------------------------
@@ -322,16 +421,17 @@ def _run_stack(x_padded: jnp.ndarray, *weight_args, interpret: bool,
                 memory_space=space,
             )
         )
-    # each buffer: spare zero row on top + one extra bottom row so the last
-    # tap's dynamic slice (start 3*wp+1, length R*wp) stays in bounds — a
-    # clamped out-of-bounds slice silently shifts the whole tap by one
+    # each buffer: spare zero top row, carry region, write region, and at
+    # least one zero row below the largest write so wrapped window reads
+    # stay on zeros (sized for the first strip's full-halo pass)
     scratch = [
         pltpu.VMEM((STRIP + 2 * HALO + 2, wp, 12), jnp.bfloat16),  # in_buf
         pltpu.VMEM((STRIP + 14, wp, 36), jnp.bfloat16),  # l1_buf
         pltpu.VMEM((STRIP + 10, wp, 72), jnp.bfloat16),  # l3_buf
-        pltpu.VMEM((STRIP + 12, wp, 72), jnp.bfloat16),  # tmp_a
-        pltpu.VMEM((STRIP + 6, wp, 36), jnp.bfloat16),   # tmp_b
-        pltpu.VMEM((STRIP + 14, wp, 36), jnp.bfloat16),  # tmp_c
+        pltpu.VMEM((STRIP + 8, wp, 72), jnp.bfloat16),   # tmp_a (l4)
+        pltpu.VMEM((STRIP + 6, wp, 36), jnp.bfloat16),   # tmp_b (l5)
+        pltpu.VMEM((STRIP + 12, wp, 36), jnp.bfloat16),  # tmp_c (l2)
+        pltpu.VMEM((STRIP + 4, wp, 36), jnp.bfloat16),   # l6_buf
     ]
     return pl.pallas_call(
         kernel,

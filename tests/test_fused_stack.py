@@ -51,6 +51,18 @@ def test_fused_strip_boundaries_and_edges_clean():
     assert per_row.max() < 2e-3
 
 
+def test_fused_three_strips_steady_state_carry():
+    """grid=3 exercises the steady->steady inter-strip carry (strips 0->1
+    use the primed carries; 1->2 uses carries saved by a steady step)."""
+    x = jnp.asarray(
+        np.random.default_rng(2).uniform(0, 1, (1, 6 * STRIP, 48, 3)).astype(np.float32)
+    )
+    truth = np.asarray(M.apply(PARAMS, x))
+    fused = np.asarray(fused_stack_apply(PARAMS, x, interpret=True).astype(jnp.float32))
+    per_row = np.abs(fused - truth)[0].max(axis=(1, 2))
+    assert per_row.max() < 2e-3
+
+
 def test_fused_shape_validation():
     with pytest.raises(ValueError):
         fused_stack_apply(
