@@ -25,8 +25,8 @@ is computed as a split matmul (two Cin=36 halves summed).
 
 Mosaic lowering constraints encoded here (each found the hard way):
 - no rotate for non-32-bit data -> the column shift rolls an fp32 copy;
-- no dynamic_slice on values -> weights are (9, cin, cout) refs indexed on
-  the untiled leading dim; row windows slice the 3D scratch ref's dim 0;
+- no dynamic_slice on values -> row windows are STATIC tile-aligned slices
+  of the rolled flat buffer; weights arrive host-flattened as (9*cin, cout);
 - merged sublane extents must be 8-aligned -> padded width is rounded to a
   multiple of 8 (extra zero pad columns keep the roll-wrap exact);
 - lane-dim ref slices must be 128-aligned -> 36-channel intermediates get a
@@ -39,7 +39,7 @@ and the FLOP-bound vs lane-bound diagnostic.
 
 Numerics: fp32 carries stay in VMEM between layers, so the kernel is
 internally more accurate than the bf16 XLA path; the bf16 output block spec
-makes the end-to-end error match it (max 5.2e-3 on-device). Supports the
+makes the end-to-end error match it (max 4.6e-3 on-device). Supports the
 production "lightweight" topology (model_pix_shuffle.py:304-311) with its
 exact activation chain.
 """
