@@ -93,7 +93,14 @@ def parse_generated_filename(filename: str) -> Optional[Dict[str, Any]]:
     if not sp:
         return None
     s = sp.groupdict()
-    pal = None if s["pal_str"].lower() == "none" else int(s["pal_str"])
+    # Malformed numeric tokens (e.g. ``_pXYZ_``) skip the file rather than
+    # crash the gatherer — reference srdataset.py catches ValueError and
+    # returns None.
+    try:
+        pal = None if s["pal_str"].lower() == "none" else int(s["pal_str"])
+        rgb = f"RGB{int(s['rgb_val'])}"
+    except ValueError:
+        return None
     return {
         "type": "style",
         "crop_x": int(d["crop_x"]),
@@ -102,7 +109,7 @@ def parse_generated_filename(filename: str) -> Optional[Dict[str, Any]]:
         "rot_deg": int(d["rot_deg"]),
         "resolution": d["resolution"],
         "style_name": d["style_name"],
-        "rgb": f"RGB{int(s['rgb_val'])}",
+        "rgb": rgb,
         "pal": pal,
         "dither": s["dither_name"].lower(),
         "scale_part": f"s{int(d['scale_perc'])}",

@@ -146,8 +146,12 @@ def generate_palette_median_cut(image_np: np.ndarray, num_colors: int) -> np.nda
 
 
 def generate_palette_octree(image_np: np.ndarray, num_colors: int) -> np.ndarray:
-    """Simple-averaging octree variant: bucket by high bits, keep the
-    most-populous buckets, average each (reference quantize.py:42-60)."""
+    """Octree-style palette: bucket by high bits, keep the most-populous
+    buckets (reference quantize.py:42-60). The bucket colour is the shared
+    bit-shifted QUANTIZED value — the reference accumulates quantized pixels,
+    so every bucket member is identical and the mean IS that value. Ties
+    between equal-count buckets break by first-seen order, matching the
+    reference's stable sort over dict-insertion order."""
     pixels = image_np.reshape(-1, 3)
     shift = 8 - int(np.log2(num_colors) / 3)
     shift = max(0, min(6, shift))
@@ -155,14 +159,12 @@ def generate_palette_octree(image_np: np.ndarray, num_colors: int) -> np.ndarray
     keys = (
         quantized[:, 0].astype(np.int64) << 16
     ) | (quantized[:, 1].astype(np.int64) << 8) | quantized[:, 2].astype(np.int64)
-    uniq, inverse, counts = np.unique(keys, return_inverse=True, return_counts=True)
-    sums = np.zeros((len(uniq), 3), np.float64)
-    np.add.at(sums, inverse, pixels.astype(np.float64))
-    means = sums / counts[:, None]
+    uniq, first_idx, counts = np.unique(keys, return_index=True, return_counts=True)
     if len(uniq) > num_colors:
-        keep = np.argsort(-counts, kind="stable")[:num_colors]
-        means = means[keep]
-    return means.astype(np.uint8)
+        keep = np.lexsort((first_idx, -counts))[:num_colors]
+    else:
+        keep = np.argsort(first_idx)
+    return quantized[first_idx[keep]].astype(np.uint8)
 
 
 def generate_palette_kmeans_sklearn(

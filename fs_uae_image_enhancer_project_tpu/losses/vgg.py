@@ -75,6 +75,16 @@ def init_vgg16(key: jax.Array | None = None) -> Params:
                  "b": jnp.asarray(data[f"features.{i}.bias"])}
             )
         return params
+    import warnings
+
+    warnings.warn(
+        f"vgg16 asset not found at {path}: the perceptual loss is using "
+        "FIXED-SEED RANDOM VGG features (random-projection loss), not "
+        "pretrained VGG16. Loss values are not comparable to the "
+        "reference's CSVs. See assets/README.md for the one-time "
+        "torchvision conversion.",
+        stacklevel=2,
+    )
     if key is None:
         key = jax.random.key(1234)
     params = []

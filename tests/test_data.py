@@ -44,6 +44,9 @@ def test_codec_rejects_garbage():
     assert parse_generated_filename("notes.txt") is None
     assert parse_generated_filename("random.png") is None
     assert parse_generated_filename("target_1_2.png") is None
+    # malformed numeric tokens skip the file instead of raising
+    # (reference srdataset.py catches ValueError and returns None)
+    assert parse_generated_filename("lores_0_0_s100_r0_rgb444_pXYZ_dnone.png") is None
     with pytest.raises(ValueError):
         construct_filename({"crop_x": 1}, is_target=True)
 

@@ -69,6 +69,44 @@ def test_palette_generators(algo):
     assert 1 <= pal.shape[0] <= 16
 
 
+def test_octree_reference_semantics():
+    """Octree buckets carry the QUANTIZED colour (reference averages the
+    bit-shifted pixels, which are identical within a bucket) and break
+    count ties by first-seen order (dict-insertion stable sort)."""
+    from collections import defaultdict
+
+    def ref_octree(image_np, num_colors):
+        pixels = image_np.reshape(-1, 3)
+        shift = max(0, min(6, 8 - int(np.log2(num_colors) / 3)))
+        quantized = (pixels >> shift) << shift
+        color_map = defaultdict(list)
+        for pix in quantized:
+            color_map[tuple(pix)].append(pix)
+        merged = (
+            sorted(color_map.items(), key=lambda kv: -len(kv[1]))[:num_colors]
+            if len(color_map) > num_colors
+            else color_map.items()
+        )
+        return np.array([np.mean(v, axis=0) for _, v in merged], dtype=np.uint8)
+
+    rng = np.random.default_rng(7)
+    for nc in (8, 32, 256):
+        img = rng.integers(0, 256, (24, 31, 3), dtype=np.uint8)
+        np.testing.assert_array_equal(
+            generate_palette_octree(img, nc), ref_octree(img, nc)
+        )
+    # ties-heavy case: 16 distinct colours, all counts equal
+    img = (
+        np.repeat(np.arange(16, dtype=np.uint8).reshape(-1, 1), 3, 1)[
+            rng.permutation(16)
+        ].reshape(4, 4, 3)
+        * 16
+    )
+    np.testing.assert_array_equal(
+        generate_palette_octree(img, 8), ref_octree(img, 8)
+    )
+
+
 def test_small_unique_color_count_returns_unique_colors():
     # fewer unique colours than palette size: palette = the unique colours
     img = np.zeros((4, 4, 3), np.uint8)
