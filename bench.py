@@ -59,6 +59,12 @@ def main() -> None:
     import jax.numpy as jnp
     import numpy as np
 
+    from fs_uae_image_enhancer_project_tpu.utils.compile_cache import (
+        enable_persistent_cache,
+    )
+
+    cache_dir = enable_persistent_cache()
+
     from fs_uae_image_enhancer_project_tpu.export.enhance import (
         default_enhance_fn,
         enhance_from_onnx,
@@ -89,6 +95,7 @@ def main() -> None:
         "backend": jax.default_backend(),
         "device": str(jax.devices()[0]),
         "weights": source,
+        "compile_cache": cache_dir,
     }
     print(json.dumps(out))
 

@@ -20,6 +20,9 @@ from typing import Optional
 
 
 def main(argv: Optional[list] = None) -> int:
+    from ..utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     import argparse
 
     ap = argparse.ArgumentParser(description="Export a trained model for deployment")

@@ -62,6 +62,9 @@ def run_inference(
 
 
 def main(argv=None) -> int:
+    from ..utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     import argparse
 
     ap = argparse.ArgumentParser(description="Raw framebuffer -> enhanced PNG")

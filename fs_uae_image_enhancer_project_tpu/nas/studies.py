@@ -257,6 +257,10 @@ def main(argv=None) -> int:
     ap.add_argument("--min_fps", type=float, default=0.0)
     ap.add_argument("--fps_duration", type=float, default=3.0)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument(
+        "--pruning_warmup_steps", type=int, default=0,
+        help="MedianPruner warmup epochs (reference optuna_study_opt_act.sh flag)",
+    )
     args = ap.parse_args(argv)
 
     train_pairs = val_pairs = None
@@ -281,7 +285,8 @@ def main(argv=None) -> int:
     )
     study = create_study(
         args.study, args.storage, load_if_exists=True,
-        sampler=TPESampler(seed=args.seed), pruner=MedianPruner(),
+        sampler=TPESampler(seed=args.seed),
+        pruner=MedianPruner(n_warmup_steps=args.pruning_warmup_steps),
     )
     study.optimize(objective, n_trials=args.trials)
     bt = study.best_trial

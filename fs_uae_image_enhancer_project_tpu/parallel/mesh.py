@@ -50,6 +50,12 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("dp", "sp"))
 
 
+def accum_batch_sharding(mesh: Mesh) -> NamedSharding:
+    """(micro, batch, H, W, C) accumulation batches: micro axis unsharded
+    (it is lax.scan'd sequentially), batch over dp, height over sp."""
+    return NamedSharding(mesh, P(None, "dp", "sp"))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

@@ -42,6 +42,11 @@ def main(argv: Optional[List[str]] = None) -> int:
                     help="directory of frames to render each improving epoch")
     ap.add_argument("--inference_always", action="store_true")
     ap.add_argument("--learning_rate", type=float, default=0.001)
+    ap.add_argument("--n_devices", type=int, default=1,
+                    help="devices in the training mesh (dp x sp); 1 = single-chip")
+    ap.add_argument("--spatial", type=int, default=1,
+                    help="spatial (image-height) mesh axis size; must divide "
+                         "--n_devices; batch parallelism gets the rest")
     ap.add_argument("--verbose", type=int, default=1)
     args = ap.parse_args(argv)
     if args.edge_checkpoint_path is not None and args.verbose >= 1:
@@ -49,6 +54,9 @@ def main(argv: Optional[List[str]] = None) -> int:
               "but unused (the reference never reads it either).",
               file=sys.stderr)
 
+    from ..utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     from ..data import SRDataset, gather_all_samples_from_directory, split_pairs
     from ..models import get_model
     from .trainer import Trainer, TrainerConfig
@@ -72,8 +80,36 @@ def main(argv: Optional[List[str]] = None) -> int:
         val_pool, crop, args.val_samples, batch_size=args.batch_size,
         linear=model.linear_io, flips=False, seed=1,
     )
+    mesh = None
+    if args.n_devices > 1 or args.spatial > 1:
+        import jax
+
+        from ..parallel.mesh import make_mesh
+
+        if args.n_devices % args.spatial:
+            print(f"Error: --spatial {args.spatial} must divide "
+                  f"--n_devices {args.n_devices}.", file=sys.stderr)
+            return 1
+        if len(jax.devices()) < args.n_devices:
+            print(f"Error: --n_devices {args.n_devices} but only "
+                  f"{len(jax.devices())} devices visible (set "
+                  "XLA_FLAGS=--xla_force_host_platform_device_count=N "
+                  "with JAX_PLATFORMS=cpu for a virtual mesh).",
+                  file=sys.stderr)
+            return 1
+        dp = args.n_devices // args.spatial
+        if args.batch_size % dp:
+            print(f"Error: --batch_size {args.batch_size} must be divisible "
+                  f"by the dp axis ({dp}).", file=sys.stderr)
+            return 1
+        mesh = make_mesh(args.n_devices, sp=args.spatial)
+        if args.verbose >= 1:
+            print(f"Training mesh: dp={dp} x sp={args.spatial} "
+                  f"({args.n_devices} devices)")
+
     cfg = TrainerConfig(
         num_epochs=args.epochs,
+        mesh=mesh,
         lr=args.learning_rate,
         batch_size=args.batch_size,
         accumulation_steps=args.accumulation_steps,

@@ -308,6 +308,22 @@ class Trainer:
                 )
                 self._log(f"Loaded checkpoint weights: {ckpt_path}")
 
+        batch_put = eval_put = jnp.asarray
+        if cfg.mesh is not None:
+            from ..parallel.mesh import (
+                accum_batch_sharding, batch_sharding, replicate,
+            )
+
+            state = replicate(cfg.mesh, state)
+            bspec = accum_batch_sharding(cfg.mesh)
+            espec = batch_sharding(cfg.mesh)
+
+            def batch_put(x):  # noqa: F811 — mesh path override
+                return jax.device_put(jnp.asarray(x), bspec)
+
+            def eval_put(x):  # noqa: F811
+                return jax.device_put(jnp.asarray(x), espec)
+
         train_step = jax.jit(
             make_train_step(
                 m.apply, self.criterion, optimizer,
@@ -336,14 +352,16 @@ class Trainer:
                 accum_hr.append(hr_b)
                 if len(accum_lr) < cfg.accumulation_steps:
                     continue
-                lrs = jnp.stack(accum_lr)
-                hrs = jnp.stack(accum_hr)
+                lrs = batch_put(jnp.stack(accum_lr))
+                hrs = batch_put(jnp.stack(accum_hr))
                 accum_lr, accum_hr = [], []
                 state, loss = train_step(state, lrs, hrs)
                 losses.append(float(loss))
             if accum_lr:  # tail flush (train.py:190-193)
                 state, loss = train_step(
-                    state, jnp.stack(accum_lr), jnp.stack(accum_hr)
+                    state,
+                    batch_put(jnp.stack(accum_lr)),
+                    batch_put(jnp.stack(accum_hr)),
                 )
                 losses.append(float(loss))
             train_loss = float(np.mean(losses)) if losses else float("nan")
@@ -356,7 +374,7 @@ class Trainer:
                         float(
                             eval_loss(
                                 state.params, state.buffers,
-                                jnp.asarray(lr_b), jnp.asarray(hr_b),
+                                eval_put(lr_b), eval_put(hr_b),
                             )
                         )
                     )

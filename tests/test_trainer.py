@@ -180,3 +180,46 @@ def test_resume_uses_fresh_optimizer_with_csv_lr(tiny_dataset, tmp_path):
     lr2 = next(r["lr"] for r in rows if r["epoch"] == 2)
     lr3 = next(r["lr"] for r in rows if r["epoch"] == 3)
     assert lr3 == pytest.approx(lr2 * 0.5, rel=1e-6)
+
+
+def test_cli_multichip_training(tiny_dataset, tmp_path):
+    """Multi-chip training through the CLI entry: a real 2-epoch run on the
+    8-device CPU mesh (dp=4 x sp=2), not just the one-step dryrun."""
+    from fs_uae_image_enhancer_project_tpu.train import cli
+
+    ckpt_dir = str(tmp_path / "mc")
+    rc = cli.main([
+        "--model_type", "pix_shuffle",
+        "--generator_train_dir", tiny_dataset,
+        "--checkpoint_dir", ckpt_dir,
+        "--crop_size", "16", "16",
+        "--epochs", "2", "--batch_size", "4", "--accumulation_steps", "2",
+        "--train_samples", "8", "--val_samples", "4",
+        "--val_split_ratio", "0.5",
+        "--n_devices", "8", "--spatial", "2",
+        "--verbose", "0",
+    ])
+    assert rc == 0
+    stats = os.path.join(ckpt_dir, "training_stats_pix_shuffle.csv")
+    assert os.path.isfile(stats)
+    import csv as csvmod
+
+    with open(stats) as f:
+        rows = list(csvmod.reader(f))[1:]
+    assert max(int(r[0]) for r in rows) == 2
+    assert all(np.isfinite(float(r[2])) for r in rows)
+
+
+def test_cli_multichip_validation_errors(tiny_dataset, tmp_path, capsys):
+    from fs_uae_image_enhancer_project_tpu.train import cli
+
+    base = [
+        "--model_type", "pix_shuffle",
+        "--generator_train_dir", tiny_dataset,
+        "--checkpoint_dir", str(tmp_path / "x"),
+        "--crop_size", "16", "16", "--epochs", "1",
+    ]
+    # sp must divide n_devices
+    assert cli.main(base + ["--n_devices", "8", "--spatial", "3"]) == 1
+    # batch must be divisible by dp
+    assert cli.main(base + ["--n_devices", "8", "--batch_size", "3"]) == 1
