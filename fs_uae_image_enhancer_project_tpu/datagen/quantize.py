@@ -125,8 +125,14 @@ def grid_quantize(image: np.ndarray, color_space: str) -> np.ndarray:
 
 def generate_palette_median_cut(image_np: np.ndarray, num_colors: int) -> np.ndarray:
     """Median-cut: recursively split the box with the largest RGB volume at
-    the median of its longest axis; palette = per-box mean colours."""
-    pixels = image_np.reshape(-1, 3).astype(np.float64)
+    the median of its longest axis; palette = per-box mean colours.
+
+    Pixels stay in the input's uint8 dtype (reference quantize.py:8-39): the
+    unstable column argsort's tie order is dtype-dependent, and equal-valued
+    pixels landing on either side of the median boundary change the per-box
+    means — byte parity requires sorting the same dtype the reference sorts.
+    """
+    pixels = image_np.reshape(-1, 3)
     boxes = [pixels]
 
     def volume(box):

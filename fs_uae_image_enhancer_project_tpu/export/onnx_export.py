@@ -222,15 +222,20 @@ def export_conv_stack_onnx(
     fp16: bool = True,
     frame_h: int = FRAME_H,
     frame_w: int = FRAME_W,
+    relu_before_residual_add: bool = False,
 ) -> str:
     """Emit a conv3/conv5-family deployment artifact (fused params).
 
     sRGB-domain wrapper (no gamma pow — matching the reference's conv3/conv5
     graphs): uint8 RGBA chunky -> /255 -> conv stack -> x255 -> clip ->
-    alpha pad -> uint8 RGBA chunky. Unlike the reference's shipped conv5
-    graph, residual adds keep the *training* semantics (add before ReLU,
-    model_conv5.py:128-144) — the reference's relu-before-add was a
-    fuse_modules artefact, not intent.
+    alpha pad -> uint8 RGBA chunky.
+
+    ``relu_before_residual_add=False`` (default) keeps the *training*
+    residual semantics (add before ReLU, model_conv5.py:128-144);
+    ``True`` reproduces the reference's *deployed* graphs (Conv->Relu->Add,
+    a torch fuse_modules artefact) — use it when re-exporting weights
+    imported from a shipped artifact so behaviour matches bit-for-bit
+    (mirrors models/conv_stack.apply_fused).
     """
     elem = FLOAT16 if fp16 else FLOAT
     b = GraphBuilder("fs_uae_enhance_conv")
@@ -249,19 +254,24 @@ def export_conv_stack_onnx(
     t = b.add_node("Div", [t, c255])[0]
 
     n_layers = len(cfg.channels)
-    skip = None
     for i in range(n_layers):
-        if i in cfg.residual_layers:
-            skip = t
+        skip = t if i in cfg.residual_layers else None
         t = em.conv(f"conv{i + 1}", t)
-        if skip is not None and i in cfg.residual_layers:
-            t = b.add_node("Add", [skip, t])[0]
-            skip = None
         is_last = i == n_layers - 1
-        if not is_last:
-            t = b.add_node("Relu", [t])[0]
-        elif cfg.final_act == "sigmoid":
-            t = b.add_node("Sigmoid", [t])[0]
+        if relu_before_residual_add:
+            if not is_last:
+                t = b.add_node("Relu", [t])[0]
+            elif cfg.final_act == "sigmoid":
+                t = b.add_node("Sigmoid", [t])[0]
+            if skip is not None:
+                t = b.add_node("Add", [skip, t])[0]
+        else:
+            if skip is not None:
+                t = b.add_node("Add", [skip, t])[0]
+            if not is_last:
+                t = b.add_node("Relu", [t])[0]
+            elif cfg.final_act == "sigmoid":
+                t = b.add_node("Sigmoid", [t])[0]
 
     t = b.add_node("Mul", [t, c255])[0]
     zero = em.scalar("clip_min_constant", 0.0)

@@ -22,21 +22,35 @@ OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                    "artifacts")
 
 
+def _psnr(a, b) -> float:
+    import numpy as np
+
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return round(99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse), 2)
+
+
 def build_conv_stack_artifacts() -> None:
     """conv3/conv5 family: parity of our deployed jax path against the
     SHIPPED GRAPH itself (executed with the numpy ONNX runner), which is the
     right truth for these models — their deployed graphs differ from
     training semantics (fused relu-before-add, no final sigmoid; see
-    export/onnx_import.py doc)."""
+    export/onnx_import.py doc). Also re-exports each family through OUR
+    exporter (deployable .onnx per family) and round-trip-verifies the
+    exported graph against the shipped graph."""
     import numpy as np
     from PIL import Image
 
     import jax.numpy as jnp
 
     from fs_uae_image_enhancer_project_tpu.export.enhance import enhance_from_onnx
+    from fs_uae_image_enhancer_project_tpu.export.onnx_export import (
+        export_conv_stack_onnx,
+    )
+    from fs_uae_image_enhancer_project_tpu.export.onnx_import import import_any
     from fs_uae_image_enhancer_project_tpu.export.onnx_runner import run_model
     from fs_uae_image_enhancer_project_tpu.export.onnx_svg import render_svg
     from fs_uae_image_enhancer_project_tpu.export.onnx_proto import load_model
+    from fs_uae_image_enhancer_project_tpu.models.configs import ConvStackConfig
 
     for name in ("conv3", "conv3_heavy", "conv5", "conv5_heavy"):
         src = f"{REF}/model_{name}/{name}.onnx"
@@ -47,9 +61,28 @@ def build_conv_stack_artifacts() -> None:
         model = load_model(src)
         with open(os.path.join(out_dir, f"{name}.onnx.svg"), "w") as f:
             f.write(render_svg(model.graph, title=f"{name}.onnx"))
+
+        # re-export through our exporter with the shipped graph's semantics
+        imp = import_any(src)
+        cfg = ConvStackConfig(
+            channels=tuple(
+                imp.params[f"conv{i + 1}"]["w"].shape[-1]
+                for i in range(imp.num_conv_layers)
+            ),
+            residual_layers=imp.residual_layers,
+            final_act="none",
+        )
+        onnx_out = os.path.join(out_dir, f"{name}.onnx")
+        export_conv_stack_onnx(
+            imp.params, cfg, onnx_out, fp16=True,
+            relu_before_residual_add=imp.relu_before_residual_add,
+        )
+        ours_graph = load_model(onnx_out)
+
         enhance = enhance_from_onnx(src, donate=False, compute_dtype=jnp.float32)
         report = {}
-        for i in (0, 3, 6):  # subset: the numpy runner is the slow part
+        roundtrip = {}
+        for i in range(8):
             frame = np.asarray(Image.open(f"{REF}/samples/sample{i}.png"))
             ours = np.asarray(enhance(jnp.asarray(frame[None])))[0]
             Image.fromarray(ours, mode="RGBA").save(
@@ -58,16 +91,69 @@ def build_conv_stack_artifacts() -> None:
             truth = run_model(model, {"input_rgba_chunky": frame[None]})[
                 "output_rgba_uint8_chunky"
             ][0]
-            mse = np.mean(
-                (ours[..., :3].astype(np.float64) - truth[..., :3].astype(np.float64)) ** 2
+            report[f"sample{i}_psnr_vs_shipped_graph_db"] = _psnr(
+                ours[..., :3], truth[..., :3]
             )
-            report[f"sample{i}_psnr_vs_shipped_graph_db"] = round(
-                99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse), 2
-            )
+            if i in (0, 6):  # exported-graph round trip (numpy runner, slow)
+                re_out = run_model(
+                    ours_graph, {"input_rgba_chunky": frame[None]}
+                )["output_rgba_uint8_chunky"][0]
+                roundtrip[f"sample{i}_psnr_exported_vs_shipped_db"] = _psnr(
+                    re_out[..., :3], truth[..., :3]
+                )
         report["min_psnr_db"] = min(report.values())
+        report.update(roundtrip)
         with open(os.path.join(out_dir, "parity_report.json"), "w") as f:
             json.dump(report, f, indent=1)
-        print(name, json.dumps(report))
+        print(name, json.dumps(report), flush=True)
+
+
+def build_pix_shuffle_heavy_artifact() -> None:
+    """Heavyweight pix_shuffle: no shipped reference weights exist, so this
+    ships a fresh-init export for deployment-contract coverage, verified by
+    round-tripping the exported graph against the native jax path."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from fs_uae_image_enhancer_project_tpu.export.enhance import make_enhance_fn
+    from fs_uae_image_enhancer_project_tpu.export.onnx_export import (
+        export_pix_shuffle_onnx,
+    )
+    from fs_uae_image_enhancer_project_tpu.export.onnx_runner import run_model
+    from fs_uae_image_enhancer_project_tpu.export.onnx_proto import load_model
+    from fs_uae_image_enhancer_project_tpu.export.onnx_svg import render_file
+    from fs_uae_image_enhancer_project_tpu.models import get_model
+
+    name = "pix_shuffle_heavy"
+    out_dir = os.path.join(OUT, f"model_{name}")
+    os.makedirs(out_dir, exist_ok=True)
+    m = get_model("pix_shuffle", "heavyweight")
+    params = m.init(jax.random.key(0))
+    onnx_out = os.path.join(out_dir, f"{name}.onnx")
+    export_pix_shuffle_onnx(params, m.config, onnx_out, crop_left=16, fp16=True)
+    render_file(onnx_out)
+
+    enhance = make_enhance_fn(
+        m.apply, params, crop_left=16, compute_dtype=jnp.float32,
+        donate=False,
+    )
+    rng = np.random.default_rng(0)
+    frame = rng.integers(0, 256, (1, 576, 752, 4), dtype=np.uint8)
+    native = np.asarray(enhance(jnp.asarray(frame)))[0]
+    graph = run_model(load_model(onnx_out), {"input_rgba_chunky": frame})[
+        "output_rgba_uint8_chunky"
+    ][0]
+    report = {
+        "weights": "fresh-init (no shipped reference heavy weights)",
+        "random_frame_psnr_exported_vs_native_db": _psnr(
+            graph[..., :3], native[..., :3]
+        ),
+    }
+    with open(os.path.join(out_dir, "parity_report.json"), "w") as f:
+        json.dump(report, f, indent=1)
+    print(name, json.dumps(report), flush=True)
 
 
 def main() -> int:
@@ -89,6 +175,7 @@ def main() -> int:
         return 1
 
     build_conv_stack_artifacts()
+    build_pix_shuffle_heavy_artifact()
 
     name = "pix_shuffle"
     out_dir = os.path.join(OUT, f"model_{name}")
