@@ -66,10 +66,23 @@ STRIP = 24
 
 
 def supports_config(cfg) -> bool:
-    chans = [l.out_channels for l in cfg.layers]
-    return chans == [36, 36, 72, 72, 36, 36, 12] and all(
-        l.kernel_size == 3 for l in cfg.layers
-    )
+    """True iff ``cfg`` is exactly the trained production topology.
+
+    Full structural equality with lightweight_config() — channel plan,
+    kernel sizes AND activation specs (the kernel hard-codes the lightweight
+    activation chain; a same-shape config with different activations must
+    not dispatch here)."""
+    from ...models.pix_shuffle import lightweight_config
+
+    return cfg == lightweight_config()
+
+
+def supports_shape(x_shape) -> bool:
+    """True iff the fused kernel can process this NHWC input shape."""
+    if len(x_shape) != 4:
+        return False
+    n, h, w, c = x_shape
+    return n == 1 and c == 3 and h % 2 == 0 and w % 2 == 0 and (h // 2) % STRIP == 0
 
 
 # ---------------------------------------------------------------------------
@@ -451,19 +464,36 @@ def _run_stack(x_padded: jnp.ndarray, *weight_args, interpret: bool,
 
 
 def fused_stack_apply(
-    params: Params, x: jnp.ndarray, *, interpret: bool | None = None
+    params: Params,
+    x: jnp.ndarray,
+    *,
+    interpret: bool | None = None,
+    cfg=None,
+    fallback: bool = True,
 ) -> jnp.ndarray:
     """Drop-in replacement for models.pix_shuffle.apply (lightweight config):
-    x (N, H, W, 3) linear float -> (N, H, W, 3). N must be 1; H/2 must be a
-    multiple of STRIP; W/2 + 2 should be lane-friendly (376+2=378 is fine).
+    x (N, H, W, 3) linear float -> (N, H, W, 3). The kernel itself needs
+    N == 1 and H/2 a multiple of STRIP; with ``fallback=True`` (default) any
+    unsupported shape or config dispatches to the XLA forward instead of
+    raising, so callers can use this unconditionally. ``fallback=False``
+    raises on mismatch (tests pin the kernel path explicitly).
     """
+    from ...models.pix_shuffle import apply as xla_apply, lightweight_config
     from ...ops.pixel_shuffle import pixel_shuffle, pixel_unshuffle
 
+    if cfg is None:
+        cfg = lightweight_config()
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    ok = supports_shape(x.shape) and supports_config(cfg)
+    if not ok:
+        if fallback:
+            return xla_apply(params, x, cfg)
+        raise ValueError(
+            f"fused stack needs the lightweight config, N=1 and "
+            f"H/2 % {STRIP} == 0, got {x.shape}"
+        )
     n, h, w, _ = x.shape
-    if n != 1 or (h // 2) % STRIP:
-        raise ValueError(f"fused stack needs N=1 and H/2 % {STRIP} == 0, got {x.shape}")
     identity = x
     u = pixel_unshuffle(x, 2)[0]  # (h/2, w/2, 12)
     u = u.astype(jnp.bfloat16)

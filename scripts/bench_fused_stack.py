@@ -23,6 +23,9 @@ def main() -> int:
     from fs_uae_image_enhancer_project_tpu.ops.pallas.fused_stack import (
         fused_stack_apply,
     )
+    from fs_uae_image_enhancer_project_tpu.ops.pallas.fused_stack_packed import (
+        fused_stack_packed_apply,
+    )
     from fs_uae_image_enhancer_project_tpu.utils.profiler import measure_chained
 
     ref = "/root/reference/model/model_pix_shuffle/pix_shuffle.onnx"
@@ -39,16 +42,27 @@ def main() -> int:
         lambda t: m.apply(params, t.astype(jnp.bfloat16)).astype(jnp.float32)
     )
     fused_fn = jax.jit(lambda t: fused_stack_apply(params, t, interpret=False))
+    packed_fn = jax.jit(
+        lambda t: fused_stack_packed_apply(params, t, interpret=False)
+    )
+    variants = [
+        ("xla bf16", xla_fn),
+        ("pallas fused", fused_fn),
+        ("pallas packed-2", packed_fn),
+    ]
+    only = os.environ.get("BENCH_FUSED_ONLY")
+    if only:
+        variants = [(n, f) for n, f in variants if only in n]
     truth = np.asarray(jax.jit(lambda t: m.apply(params, t))(x))
-    for name, fn in [("xla bf16", xla_fn), ("pallas fused", fused_fn)]:
+    for name, fn in variants:
         err = np.abs(np.asarray(fn(x)) - truth)
-        print(f"{name} vs fp32: max err {err.max():.2e} mean {err.mean():.2e}")
+        print(f"{name} vs fp32: max err {err.max():.2e} mean {err.mean():.2e}",
+              flush=True)
 
-    res = measure_chained(xla_fn, x, warmup=5, duration_s=8.0, chunk=50)
-    print(f"xla bf16 model: {res.ms_per_call:.3f} ms ({res.fps:.1f} fps)")
-
-    res = measure_chained(fused_fn, x, warmup=5, duration_s=8.0, chunk=50)
-    print(f"pallas fused stack: {res.ms_per_call:.3f} ms ({res.fps:.1f} fps)")
+    for name, fn in variants:
+        res = measure_chained(fn, x, warmup=5, duration_s=8.0, chunk=50)
+        print(f"{name}: {res.ms_per_call:.3f} ms ({res.fps:.1f} fps)",
+              flush=True)
     return 0
 
 

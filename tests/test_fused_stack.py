@@ -66,9 +66,88 @@ def test_fused_three_strips_steady_state_carry():
 def test_fused_shape_validation():
     with pytest.raises(ValueError):
         fused_stack_apply(
-            PARAMS, jnp.zeros((1, 2 * STRIP + 2, 64, 3)), interpret=True
+            PARAMS, jnp.zeros((1, 2 * STRIP + 2, 64, 3)), interpret=True,
+            fallback=False,
         )
     with pytest.raises(ValueError):
         fused_stack_apply(
-            PARAMS, jnp.zeros((2, 2 * STRIP, 64, 3)), interpret=True
+            PARAMS, jnp.zeros((2, 2 * STRIP, 64, 3)), interpret=True,
+            fallback=False,
         )
+
+
+def test_dispatch_fallback_on_unsupported_shape():
+    """Shapes the kernel can't take (batch>1, H/2 not a STRIP multiple)
+    dispatch to the XLA forward instead of raising."""
+    import dataclasses
+
+    from fs_uae_image_enhancer_project_tpu.models import pix_shuffle as ps
+    from fs_uae_image_enhancer_project_tpu.ops.pallas.fused_stack import (
+        fused_stack_apply,
+        supports_config,
+        supports_shape,
+    )
+
+    cfg = ps.lightweight_config()
+    params = ps.init(jax.random.key(0), cfg)
+    rng = np.random.default_rng(0)
+    # 16 rows: h/2=8 is not a STRIP multiple -> fallback path
+    x = jnp.asarray(rng.uniform(0, 1, (2, 16, 16, 3)).astype(np.float32))
+    assert not supports_shape(x.shape)
+    got = fused_stack_apply(params, x)
+    want = ps.apply(params, x, cfg)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+    with pytest.raises(ValueError):
+        fused_stack_apply(params, x, fallback=False)
+
+
+def test_supports_config_rejects_different_activations():
+    """Same channel plan, different activation chain: must NOT dispatch to
+    the kernel (it hard-codes the lightweight activation chain)."""
+    import dataclasses
+
+    from fs_uae_image_enhancer_project_tpu.models import pix_shuffle as ps
+    from fs_uae_image_enhancer_project_tpu.models.configs import act
+    from fs_uae_image_enhancer_project_tpu.ops.pallas.fused_stack import (
+        supports_config,
+    )
+
+    cfg = ps.lightweight_config()
+    assert supports_config(cfg)
+    l0 = cfg.layers[0]
+    mutated = dataclasses.replace(
+        cfg,
+        layers=(dataclasses.replace(l0, acts=(act("relu"), act("relu"))),)
+        + cfg.layers[1:],
+    )
+    assert not supports_config(mutated)
+
+
+@pytest.mark.parametrize("hw", [(2 * STRIP, 32), (4 * STRIP, 44), (6 * STRIP, 32)])
+def test_packed_matches_fp32_forward(hw):
+    """The width-packed kernel (1/2/3 strips incl. steady->steady carries)
+    matches the fp32 forward within bf16-buffer tolerance."""
+    from fs_uae_image_enhancer_project_tpu.ops.pallas.fused_stack_packed import (
+        fused_stack_packed_apply,
+    )
+
+    h, w = hw
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.uniform(0, 1, (1, h, w, 3)).astype(np.float32))
+    got = np.asarray(fused_stack_packed_apply(PARAMS, x, interpret=True))
+    want = np.asarray(M.apply(PARAMS, x))
+    assert np.abs(got - want).max() < 2e-3
+
+
+def test_packed_fallback_dispatch():
+    from fs_uae_image_enhancer_project_tpu.ops.pallas.fused_stack_packed import (
+        fused_stack_packed_apply,
+    )
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.uniform(0, 1, (2, 16, 16, 3)).astype(np.float32))
+    got = fused_stack_packed_apply(PARAMS, x)  # unsupported shape -> XLA
+    want = M.apply(PARAMS, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+    with pytest.raises(ValueError):
+        fused_stack_packed_apply(PARAMS, x, fallback=False)
