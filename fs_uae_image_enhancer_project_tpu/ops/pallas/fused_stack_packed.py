@@ -60,31 +60,24 @@ Params = Dict[str, dict]
 
 def _conv3x3_packed(src_ref, src_row0: int, rows_out: int, wq: int,
                     cin: int, cout: int, w_ref, b):
-    """3x3 SAME conv over an ODD-phase grouped buffer (rows, wq, 2*cin).
+    """3x3 SAME conv over an [A || O] grouped buffer (rows, wq, 4*cin).
 
-    Produces the EVEN-phase output (rows_out, wq, 2*cout): matmul row t is
-    the output pair at ungrouped columns (2t, 2t+1), whose 3x3 windows union
-    to columns {2t-1..2t+2} = O[t-1] || O[t]. One sublane roll (+1 group) on
-    the flattened buffer gives O[t-1]; three dy row offsets are static
-    tile-aligned slices; the 6 windows concatenate to a (m, 12cin) operand
-    against host-packed (12cin, 2cout) weights (_pack_conv_weight).
+    Buffers store, per group t, the lane-concat of A[t] = O[t-1] (the
+    one-group-left shift, materialized once at STORE time by _store_shifted)
+    and O[t] (odd phase, ungrouped cols 2t+1, 2t+2) — so each conv window is
+    just a contiguous row-block read: matmul row t is the output pair at
+    ungrouped columns (2t, 2t+1), whose 3x3 windows union to columns
+    {2t-1..2t+2} = A[t] || O[t]. Three dy row-block reads reshape+concat to
+    the (m, 12cin) operand against host-packed (12cin, 2cout) weights.
+    No per-conv roll, no fp32 round trip of the whole buffer — the VPU cost
+    the flat-roll formulation paid per consumer is paid once per producer.
     """
-    rows_buf = src_ref.shape[0]
-    M = rows_buf * wq
     m = rows_out * wq
-    flat = src_ref[...].reshape(M, 2 * cin).astype(jnp.float32)
-    rolled = pltpu.roll(flat, 1, axis=0).astype(jnp.bfloat16)  # O[t-1]
-    flat_bf = flat.astype(jnp.bfloat16)
-    windows = []
+    pieces = []
     for dy in range(3):
-        start = (src_row0 + dy) * wq
-        windows.append(
-            jax.lax.slice(rolled, (start, 0), (start + m, 2 * cin))
-        )
-        windows.append(
-            jax.lax.slice(flat_bf, (start, 0), (start + m, 2 * cin))
-        )
-    op = jnp.concatenate(windows, axis=1)  # (m, 12cin)
+        blk = src_ref[pl.ds(src_row0 + dy, rows_out), :, :]
+        pieces.append(blk.reshape(m, 4 * cin))
+    op = jnp.concatenate(pieces, axis=1)  # (m, 12cin)
     acc = jax.lax.dot_general(
         op, w_ref[...],
         dimension_numbers=(((1,), (0,)), ((), ())),
@@ -129,6 +122,18 @@ def _make_odd(e_val):
     return o.reshape(rows, wq, c2)
 
 
+def _make_shifted(e_val):
+    """[A || O] conv-input value from a masked even-phase fp32 value.
+
+    O = _make_odd(E); A[t] = O[t-1] via a within-row sublane roll — the
+    cross-row element the flat roll would fetch is a pad group in both
+    cases, zero after masking, so the per-row wrap is equivalent.
+    """
+    o = _make_odd(e_val)
+    a = pltpu.roll(o, 1, axis=1)
+    return jnp.concatenate([a, o], axis=2)
+
+
 def _store(dst_ref, start: int, rows: int, value) -> None:
     """Same contract as fused_stack._store (spare zero top row, zeros below
     the write so rolled windows wrap onto zeros, carries preserved)."""
@@ -150,19 +155,21 @@ def _carry(dst_ref, src_start: int, n: int) -> None:
 
 def _stack_kernel(
     # inputs
-    x_ref,  # (H + 2*HALO, wq, 24) bf16 — ODD-phase grouped input
+    x_ref,  # (H + 2*HALO, wq, 48) bf16 — [A || O] grouped input
     w1, b1, w2, b2, w3, b3, w4, b4, w5, b5, w6a, w6b, b6, w7, b7,
     a1a, a1b, a2a, a2b, p2b, p2s, p4b, p4s, p7b, p7s,
     # output
     out_ref,  # (STRIP, wq, 24) even-phase grouped block
     # scratch — O (odd-phase) per layer; E kept only where skips read buffers
-    in_o,  # (S+16, wq, 24)
-    o1, e1,  # (S+14, wq, 72)
-    o2,      # (S+12, wq, 72)
-    o3, e3,  # (S+10, wq, 144)
-    o4,      # (S+8, wq, 144)
-    o5,      # (S+6, wq, 72)
-    o6,      # (S+4, wq, 72)
+    in_o,  # (S+16, wq, 48)
+    o1,      # (S+14, wq, 144)
+    e1,      # (S+14, wq, 72)
+    o2,      # (S+12, wq, 144)
+    o3,      # (S+10, wq, 288)
+    e3,      # (S+10, wq, 144)
+    o4,      # (S+8, wq, 288)
+    o5,      # (S+6, wq, 144)
+    o6,      # (S+4, wq, 144)
     *,
     wq: int,
     h_half: int,
@@ -187,7 +194,7 @@ def _stack_kernel(
         t = _relu6(_sinlu(t, scalar(a1a), scalar(a1b)))
         l1 = mask(t, 1)
         _store(e1, 1, S + 12, l1)
-        _store(o1, 1, S + 12, _make_odd(l1))
+        _store(o1, 1, S + 12, _make_shifted(l1))
 
         t = _conv3x3_packed(o1, 1, S + 10, wq, 36, 36, w2, b2[...])
         t = _telu(t)
@@ -195,30 +202,30 @@ def _stack_kernel(
         t = _sinlu(t, scalar(a2a), scalar(a2b))
         t = _biased_prelu(t, p2b[...].astype(f32), p2s[...].astype(f32))
         l2 = mask(t, 2)
-        _store(o2, 1, S + 10, _make_odd(l2))
+        _store(o2, 1, S + 10, _make_shifted(l2))
 
         t = _conv3x3_packed(o2, 1, S + 8, wq, 36, 72, w3, b3[...])
         l3 = mask(t, 3)
         _store(e3, 1, S + 8, l3)
-        _store(o3, 1, S + 8, _make_odd(l3))
+        _store(o3, 1, S + 8, _make_shifted(l3))
 
         t = _conv3x3_packed(o3, 1, S + 6, wq, 72, 72, w4, b4[...])
         t = _biased_prelu(_mish(t), p4b[...].astype(f32), p4s[...].astype(f32))
         t = t + l3[1 : S + 7]
         t = jax.nn.relu(jnp.tanh(t))
         l4 = mask(t, 4)
-        _store(o4, 1, S + 6, _make_odd(l4))
+        _store(o4, 1, S + 6, _make_shifted(l4))
 
         t = _conv3x3_packed(o4, 1, S + 4, wq, 72, 36, w5, b5[...])
         l5 = mask(t, 5)
-        _store(o5, 1, S + 4, _make_odd(l5))
+        _store(o5, 1, S + 4, _make_shifted(l5))
 
         ta = _conv3x3_packed(o1, 5, S + 2, wq, 36, 36, w6a, b6[...])
         tb = _conv3x3_packed(o5, 1, S + 2, wq, 36, 36, w6b,
                              jnp.zeros_like(b6[...]))
         t = _relu6(_mish(ta + tb))
         l6 = mask(t, 6)
-        _store(o6, 1, S + 2, _make_odd(l6))
+        _store(o6, 1, S + 2, _make_shifted(l6))
 
         t = _conv3x3_packed(o6, 1, S, wq, 36, 12, w7, b7[...])
         t = _biased_prelu(t, scalar(p7b), scalar(p7s))
@@ -241,7 +248,7 @@ def _stack_kernel(
         t = _relu6(_sinlu(t, scalar(a1a), scalar(a1b)))
         l1 = mask(t, base + 13)
         _store(e1, 11, S, l1)
-        _store(o1, 11, S, _make_odd(l1))
+        _store(o1, 11, S, _make_shifted(l1))
 
         t = _conv3x3_packed(o1, 9, S, wq, 36, 36, w2, b2[...])
         t = _telu(t)
@@ -249,30 +256,30 @@ def _stack_kernel(
         t = _sinlu(t, scalar(a2a), scalar(a2b))
         t = _biased_prelu(t, p2b[...].astype(f32), p2s[...].astype(f32))
         l2 = mask(t, base + 12)
-        _store(o2, 3, S, _make_odd(l2))
+        _store(o2, 3, S, _make_shifted(l2))
 
         t = _conv3x3_packed(o2, 1, S, wq, 36, 72, w3, b3[...])
         l3 = mask(t, base + 11)
         _store(e3, 3, S, l3)
-        _store(o3, 3, S, _make_odd(l3))
+        _store(o3, 3, S, _make_shifted(l3))
 
         t = _conv3x3_packed(o3, 1, S, wq, 72, 72, w4, b4[...])
         t = _biased_prelu(_mish(t), p4b[...].astype(f32), p4s[...].astype(f32))
         t = t + e3[pl.ds(2, S), :, :].astype(f32)
         t = jax.nn.relu(jnp.tanh(t))
         l4 = mask(t, base + 10)
-        _store(o4, 3, S, _make_odd(l4))
+        _store(o4, 3, S, _make_shifted(l4))
 
         t = _conv3x3_packed(o4, 1, S, wq, 72, 36, w5, b5[...])
         l5 = mask(t, base + 9)
-        _store(o5, 3, S, _make_odd(l5))
+        _store(o5, 3, S, _make_shifted(l5))
 
         ta = _conv3x3_packed(o1, 5, S, wq, 36, 36, w6a, b6[...])
         tb = _conv3x3_packed(o5, 1, S, wq, 36, 36, w6b,
                              jnp.zeros_like(b6[...]))
         t = _relu6(_mish(ta + tb))
         l6 = mask(t, base + 8)
-        _store(o6, 3, S, _make_odd(l6))
+        _store(o6, 3, S, _make_shifted(l6))
 
         t = _conv3x3_packed(o6, 1, S, wq, 36, 12, w7, b7[...])
         t = _biased_prelu(t, scalar(p7b), scalar(p7s))
@@ -370,7 +377,7 @@ def _run_stack(x_grouped: jnp.ndarray, *weight_args, interpret: bool,
         _stack_kernel, wq=wq, h_half=h_out, w_valid=w_valid
     )
     space = pltpu.ANY if interpret else pltpu.VMEM
-    in_specs = [pl.BlockSpec((hp, wq, 24), lambda i: (0, 0, 0), memory_space=space)]
+    in_specs = [pl.BlockSpec((hp, wq, 48), lambda i: (0, 0, 0), memory_space=space)]
     for arg in weight_args:
         in_specs.append(
             pl.BlockSpec(
@@ -381,15 +388,15 @@ def _run_stack(x_grouped: jnp.ndarray, *weight_args, interpret: bool,
         )
     S = STRIP
     scratch = [
-        pltpu.VMEM((S + 2 * HALO + 2, wq, 24), jnp.bfloat16),  # in_o
-        pltpu.VMEM((S + 14, wq, 72), jnp.bfloat16),   # o1
+        pltpu.VMEM((S + 2 * HALO + 2, wq, 48), jnp.bfloat16),  # in_o
+        pltpu.VMEM((S + 14, wq, 144), jnp.bfloat16),  # o1
         pltpu.VMEM((S + 14, wq, 72), jnp.bfloat16),   # e1
-        pltpu.VMEM((S + 12, wq, 72), jnp.bfloat16),   # o2
-        pltpu.VMEM((S + 10, wq, 144), jnp.bfloat16),  # o3
+        pltpu.VMEM((S + 12, wq, 144), jnp.bfloat16),  # o2
+        pltpu.VMEM((S + 10, wq, 288), jnp.bfloat16),  # o3
         pltpu.VMEM((S + 10, wq, 144), jnp.bfloat16),  # e3
-        pltpu.VMEM((S + 8, wq, 144), jnp.bfloat16),   # o4
-        pltpu.VMEM((S + 6, wq, 72), jnp.bfloat16),    # o5
-        pltpu.VMEM((S + 4, wq, 72), jnp.bfloat16),    # o6
+        pltpu.VMEM((S + 8, wq, 288), jnp.bfloat16),   # o4
+        pltpu.VMEM((S + 6, wq, 144), jnp.bfloat16),   # o5
+        pltpu.VMEM((S + 4, wq, 144), jnp.bfloat16),   # o6
     ]
     return pl.pallas_call(
         kernel,
@@ -441,6 +448,8 @@ def fused_stack_packed_apply(
     wu = ((w2u + 4 + 15) // 16) * 16
     up = jnp.pad(u, ((HALO, HALO), (2, wu + 1 - 2 - w2u), (0, 0)))
     o_in = up[:, 1 : wu + 1, :].reshape(h2 + 2 * HALO, wu // 2, 24)
+    a_in = jnp.pad(o_in[:, :-1, :], ((0, 0), (1, 0), (0, 0)))  # A[t] = O[t-1]
+    o_in = jnp.concatenate([a_in, o_in], axis=2)  # (hp, wq, 48)
     weight_args = _prep_weights(params)
     y = _run_stack(o_in, *weight_args, interpret=interpret, w_valid=w2u)
     y = y.reshape(h2, wu, 12)[:, 2 : 2 + w2u, :].astype(x.dtype)
