@@ -13,17 +13,23 @@ what XLA's lowering does internally), measured first in isolation
     l5    72->36   (9216,648)x(648,36)  -> (4608,864)x(864,72)   1.40x
     l7    36->12   (9216,324)x(324,12)  -> (4608,432)x(432,24)   1.98x
 
-Formulation. All tensors are stored width-GROUPED: (rows, wq, 2C) with lane
-= (pair_offset, channel), wq = wu/2. Each layer's buffer holds the ODD phase
-O[q] = ungrouped columns (2q+1, 2q+2); a 3x3 conv producing the even-phase
-output pair (cols 2t, 2t+1) needs exactly columns {2t-1..2t+2} =
-O[t-1] || O[t], so the operand is ONE sublane roll + 6 static row-slices
-concatenated to (m/2, 12cin), against block-structured weights
-(12cin, 2cout) with 25% structural zeros — the lane-fill trade the numbers
-above show the MXU takes gladly. The odd phase of each output is built from
-the (masked, fp32) even-phase value with a lane rotate by C + sublane roll +
-lane select (all 32-bit ops; verified on hardware). Strip pipeline, carries,
-halos and per-layer re-masking are inherited 1:1 from fused_stack.py.
+Formulation. All tensors are width-GROUPED by pairs, wq = wu/2. A 3x3 conv
+producing the even-phase output pair (ungrouped cols 2t, 2t+1) needs exactly
+columns {2t-1..2t+2} = A[t] || O[t], where O[t] = odd phase (cols 2t+1,
+2t+2) and A[t] = O[t-1]. Each layer's conv-input buffer stores the
+lane-concat [A || O] (rows, wq, 4C), materialized ONCE at store time from
+the masked fp32 even-phase value (_make_shifted: lane rotate by C + sublane
+roll + lane select + one within-row group shift — all 32-bit ops, verified
+on hardware). A conv window is then just three contiguous row-block reads
+(one per dy) reshaped and lane-concatenated to the (m/2, 12cin) operand,
+against block-structured weights (12cin, 2cout) with 25% structural zeros —
+the lane-fill trade the numbers above show the MXU takes gladly. No
+per-consumer roll and no fp32 round trip of whole buffers (the first,
+flat-roll formulation of this kernel paid both per conv, and its full-buffer
+roll+slice composition also miscompiled on hardware — git history
+300ab7b^..300ab7b has it). Strip pipeline, carries, halos and per-layer
+re-masking are inherited 1:1 from fused_stack.py; layers whose output feeds
+a residual skip (l1, l3) additionally keep an even-phase buffer.
 
 Reference behaviour being reproduced: model_pix_shuffle.py:227-298 forward,
 lightweight config (model_pix_shuffle.py:304-311).
@@ -63,7 +69,7 @@ def _conv3x3_packed(src_ref, src_row0: int, rows_out: int, wq: int,
     """3x3 SAME conv over an [A || O] grouped buffer (rows, wq, 4*cin).
 
     Buffers store, per group t, the lane-concat of A[t] = O[t-1] (the
-    one-group-left shift, materialized once at STORE time by _store_shifted)
+    one-group-left shift, materialized once at store time via _make_shifted)
     and O[t] (odd phase, ungrouped cols 2t+1, 2t+2) — so each conv window is
     just a contiguous row-block read: matmul row t is the output pair at
     ungrouped columns (2t, 2t+1), whose 3x3 windows union to columns
