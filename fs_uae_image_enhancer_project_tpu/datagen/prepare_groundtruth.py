@@ -39,8 +39,12 @@ def process_image(
             else:
                 img = img.convert("RGB")
             if max_dim is not None:
+                # Scalar max_dim -> fit within a square box; (W, H) pair ->
+                # fit within that box (the reference's --max_crop_size
+                # thumbnail semantics, prepare_groundtruth.py:31-35).
+                box = (max_dim, max_dim) if isinstance(max_dim, int) else max_dim
                 w, h = img.size
-                scale = max_dim / max(w, h)
+                scale = min(box[0] / w, box[1] / h)
                 if scale < 1.0:
                     img = img.resize(
                         (max(1, int(w * scale)), max(1, int(h * scale))),
@@ -89,10 +93,16 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description="Normalize sources to sRGB PNGs")
     ap.add_argument("--src", required=True)
     ap.add_argument("--dst", required=True)
-    ap.add_argument("--max_dim", type=int, default=None)
+    ap.add_argument("--max_dim", type=int, default=None,
+                    help="fit within a max_dim x max_dim box")
+    ap.add_argument("--max_crop_size", type=int, nargs=2, default=None,
+                    metavar=("WIDTH", "HEIGHT"),
+                    help="fit within WIDTH x HEIGHT (the reference's flag "
+                         "spelling, prepare_groundtruth.py:56-58)")
     ap.add_argument("--workers", type=int, default=32)
     args = ap.parse_args(argv)
-    results = prepare_tree(args.src, args.dst, args.max_dim, args.workers)
+    max_size = tuple(args.max_crop_size) if args.max_crop_size else args.max_dim
+    results = prepare_tree(args.src, args.dst, max_size, args.workers)
     return 0 if all(e is None for _p, e in results) else 1
 
 

@@ -54,6 +54,24 @@ def main(argv: Optional[List[str]] = None) -> int:
               "but unused (the reference never reads it either).",
               file=sys.stderr)
 
+    # Mesh arithmetic is validated before the (slow) sample gather so a bad
+    # flag combination fails in milliseconds, not after a directory walk.
+    if args.n_devices > 1 or args.spatial > 1:
+        if args.n_devices % args.spatial:
+            print(f"Error: --spatial {args.spatial} must divide "
+                  f"--n_devices {args.n_devices}.", file=sys.stderr)
+            return 1
+        dp_axis = args.n_devices // args.spatial
+        if args.batch_size % dp_axis:
+            print(f"Error: --batch_size {args.batch_size} must be divisible "
+                  f"by the dp axis ({dp_axis}).", file=sys.stderr)
+            return 1
+        if args.crop_size[1] % args.spatial:
+            print(f"Error: crop height {args.crop_size[1]} must be divisible "
+                  f"by --spatial {args.spatial} (the sp axis shards the "
+                  "image height).", file=sys.stderr)
+            return 1
+
     from ..utils.compile_cache import enable_persistent_cache
 
     enable_persistent_cache()
@@ -86,10 +104,6 @@ def main(argv: Optional[List[str]] = None) -> int:
 
         from ..parallel.mesh import make_mesh
 
-        if args.n_devices % args.spatial:
-            print(f"Error: --spatial {args.spatial} must divide "
-                  f"--n_devices {args.n_devices}.", file=sys.stderr)
-            return 1
         if len(jax.devices()) < args.n_devices:
             print(f"Error: --n_devices {args.n_devices} but only "
                   f"{len(jax.devices())} devices visible (set "
@@ -98,10 +112,6 @@ def main(argv: Optional[List[str]] = None) -> int:
                   file=sys.stderr)
             return 1
         dp = args.n_devices // args.spatial
-        if args.batch_size % dp:
-            print(f"Error: --batch_size {args.batch_size} must be divisible "
-                  f"by the dp axis ({dp}).", file=sys.stderr)
-            return 1
         mesh = make_mesh(args.n_devices, sp=args.spatial)
         if args.verbose >= 1:
             print(f"Training mesh: dp={dp} x sp={args.spatial} "

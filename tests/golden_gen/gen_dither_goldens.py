@@ -3,9 +3,15 @@
 Runs the actual reference module (``dataset_generator/quantize.py`` from
 cminnoy/fs_uae_image_enhancer_project). When numba is installed the kernels
 run JIT-compiled; when it is not, a shim runs the identical Python bodies
-interpreted — @njit without fastmath is IEEE-semantics-preserving, so the
-output bytes are the same either way (the kernels are straight-line float64
-arithmetic; there is no parallelism or fastmath reassociation).
+interpreted. Equivalence argument (unverified — no numba in this image):
+@njit without fastmath should be IEEE-semantics-preserving for these
+straight-line float64 kernels (no parallelism, no reassociation flags).
+To settle it, run this script once on a numba-capable machine and diff the
+produced npz byte-for-byte against the committed one:
+
+    REF_DATASET_GENERATOR=/path/to/reference/dataset_generator \
+        python tests/golden_gen/gen_dither_goldens.py
+    cmp tests/goldens/dither_goldens.npz <committed copy>  # or np.load-diff
 
     REF_DATASET_GENERATOR=/path/to/reference/dataset_generator \
         python tests/golden_gen/gen_dither_goldens.py

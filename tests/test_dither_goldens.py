@@ -2,8 +2,15 @@
 REFERENCE's own kernels (dataset_generator/quantize.py:64-331).
 
 Goldens come from tests/golden_gen/gen_dither_goldens.py, which runs the
-actual reference module (JIT-compiled when numba is present, interpreted via
-a semantics-preserving shim otherwise). Skips if the npz is absent.
+actual reference module. CAVEAT: this image has no numba, so the committed
+npz was captured through an interpreted no-op ``@njit`` shim. The shim is
+argued (not proven) IEEE-equivalent to numba-compiled output: the kernels
+are straight-line float64 arithmetic with no fastmath/parallel flags, so
+LLVM may not reassociate. To verify on any numba-capable machine, run
+``python tests/golden_gen/gen_dither_goldens.py`` there (numba auto-detected,
+kernels JIT-compiled) and diff the resulting npz byte-for-byte against the
+committed one. Until that run exists, these tests certify parity with the
+reference's *interpreted* kernels. Skips if the npz is absent.
 """
 import os
 

@@ -242,3 +242,28 @@ def test_sigint_during_scan_never_deletes(source_tree, monkeypatch):
     assert stats["stopped"]
     n_after = len(glob.glob(os.path.join(cfg.dest_dir, "train", "*", "*.png")))
     assert n_after == n_before  # nothing deleted
+
+
+def test_prepare_groundtruth_max_crop_size(tmp_path):
+    """--max_crop_size W H fits within the box (reference
+    prepare_groundtruth.py:31-35 thumbnail semantics); mirrored tree and
+    idempotent re-run."""
+    from fs_uae_image_enhancer_project_tpu.datagen import prepare_groundtruth
+
+    src = tmp_path / "orig" / "sub"
+    src.mkdir(parents=True)
+    _write_source(str(src / "wide.png"), w=200, h=50)
+    _write_source(str(src / "small.png"), w=40, h=30)
+    dst = tmp_path / "gt"
+    rc = prepare_groundtruth.main([
+        "--src", str(tmp_path / "orig"), "--dst", str(dst),
+        "--max_crop_size", "100", "40",
+    ])
+    assert rc == 0
+    with Image.open(dst / "sub" / "wide.png") as im:
+        assert im.size == (100, 25)  # scale = min(100/200, 40/50) = 0.5
+    with Image.open(dst / "sub" / "small.png") as im:
+        assert im.size == (40, 30)  # already fits: untouched
+    # idempotent: second run skips existing outputs
+    assert prepare_groundtruth.main(
+        ["--src", str(tmp_path / "orig"), "--dst", str(dst)]) == 0

@@ -223,3 +223,13 @@ def test_cli_multichip_validation_errors(tiny_dataset, tmp_path, capsys):
     assert cli.main(base + ["--n_devices", "8", "--spatial", "3"]) == 1
     # batch must be divisible by dp
     assert cli.main(base + ["--n_devices", "8", "--batch_size", "3"]) == 1
+    # crop height must be divisible by sp (sp shards H)
+    odd_h = [
+        "--model_type", "pix_shuffle",
+        "--generator_train_dir", tiny_dataset,
+        "--checkpoint_dir", str(tmp_path / "x"),
+        "--crop_size", "16", "15", "--epochs", "1",
+        "--n_devices", "8", "--spatial", "2", "--batch_size", "4",
+    ]
+    assert cli.main(odd_h) == 1
+    assert "crop height" in capsys.readouterr().err
