@@ -11,6 +11,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:
+    from fs_uae_image_enhancer_project_tpu.utils.compile_cache import (
+        enable_persistent_cache,
+    )
+
+    enable_persistent_cache()  # Mosaic compiles here run 10-20 min; cache them
+
     import numpy as np
 
     import jax

@@ -131,9 +131,6 @@ def build_pix_shuffle_heavy_artifact() -> None:
     os.makedirs(out_dir, exist_ok=True)
     m = get_model("pix_shuffle", "heavyweight")
     params = m.init(jax.random.key(0))
-    onnx_out = os.path.join(out_dir, f"{name}.onnx")
-    export_pix_shuffle_onnx(params, m.config, onnx_out, crop_left=16, fp16=True)
-    render_file(onnx_out)
 
     enhance = make_enhance_fn(
         m.apply, params, crop_left=16, compute_dtype=jnp.float32,
@@ -142,15 +139,30 @@ def build_pix_shuffle_heavy_artifact() -> None:
     rng = np.random.default_rng(0)
     frame = rng.integers(0, 256, (1, 576, 752, 4), dtype=np.uint8)
     native = np.asarray(enhance(jnp.asarray(frame)))[0]
-    graph = run_model(load_model(onnx_out), {"input_rgba_chunky": frame})[
-        "output_rgba_uint8_chunky"
-    ][0]
-    report = {
-        "weights": "fresh-init (no shipped reference heavy weights)",
-        "random_frame_psnr_exported_vs_native_db": _psnr(
-            graph[..., :3], native[..., :3]
-        ),
-    }
+
+    # Primary artifact is fp32: the fp16 weight rounding alone capped the
+    # exported-vs-native round trip at 59.9 dB (round-2 report), below the
+    # >=64 dB family bar. The fp16 variant is kept alongside (deployment
+    # size parity with the reference's shipped fp16 artifacts) with its
+    # measured figure in the report.
+    report = {"weights": "fresh-init (no shipped reference heavy weights)"}
+    for fp16, fname, key in (
+        (False, f"{name}.onnx", "random_frame_psnr_exported_vs_native_db"),
+        (True, f"{name}_fp16.onnx",
+         "random_frame_psnr_exported_fp16_vs_native_db"),
+    ):
+        onnx_out = os.path.join(out_dir, fname)
+        export_pix_shuffle_onnx(params, m.config, onnx_out, crop_left=16,
+                                fp16=fp16)
+        graph = run_model(load_model(onnx_out), {"input_rgba_chunky": frame})[
+            "output_rgba_uint8_chunky"
+        ][0]
+        report[key] = _psnr(graph[..., :3], native[..., :3])
+    render_file(os.path.join(out_dir, f"{name}.onnx"))
+    report["note"] = (
+        "primary graph carries fp32 weights; the fp16 variant's lower "
+        "figure is the fp16 weight-rounding floor, not an export defect"
+    )
     with open(os.path.join(out_dir, "parity_report.json"), "w") as f:
         json.dump(report, f, indent=1)
     print(name, json.dumps(report), flush=True)
