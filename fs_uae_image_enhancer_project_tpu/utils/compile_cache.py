@@ -1,14 +1,18 @@
 """Persistent XLA compilation cache.
 
-The deployed enhance artifact is an emulator sidecar: a ~2-minute cold
-compile before frame 1 (measured 117.5 s on the tunnel TPU in round 1) is a
-deployment defect. JAX's persistent compilation cache stores the compiled
-executable keyed on (HLO, compile options, backend version); a warm process
-skips XLA entirely and deserializes in seconds.
+The deployed enhance artifact is an emulator sidecar: paying an XLA compile
+before frame 1 is a deployment defect. JAX's persistent compilation cache
+stores the compiled executable keyed on (HLO, compile options, backend
+version); a warm process deserializes instead of compiling — measured
+7.9 s -> 0.1 s for the enhance program (round 3 phase split). Seed at
+deploy time with scripts/precompile.py. NOTE: on this environment's tunnel
+the *first execution* of a program costs an additional, highly variable
+8.6-517.8 s regardless of cache state — see docs/DEPLOYMENT.md "Cold
+start" for the full phase table; that term is a tunnel artifact, not XLA.
 
 The reference has no counterpart (ONNX Runtime sessions build in ~ms from
 the pre-compiled .onnx graph; README.md:26-27) — this closes the gap from
-the JAX side. See docs/DEPLOYMENT.md "Cold start".
+the JAX side.
 """
 from __future__ import annotations
 
