@@ -76,19 +76,28 @@ def main() -> None:
     )
 
     duration = float(os.environ.get("BENCH_DURATION_S", "20"))
+    # donate=True lets XLA alias the uint8 frame buffers through the chain
+    # (each call's input IS the previous call's output); BENCH_DONATE=0
+    # opts out for A/B comparison.
+    donate = os.environ.get("BENCH_DONATE", "1") == "1"
     onnx_path = "/root/reference/model/model_pix_shuffle/pix_shuffle.onnx"
     if os.path.exists(onnx_path):
-        enhance = enhance_from_onnx(onnx_path, donate=False)
+        enhance = enhance_from_onnx(onnx_path, donate=donate)
         source = "shipped pix_shuffle.onnx weights"
     else:
-        enhance, _ = default_enhance_fn(donate=False)
+        enhance, _ = default_enhance_fn(donate=donate)
         source = "random-init pix_shuffle weights"
 
     from fs_uae_image_enhancer_project_tpu.utils.profiler import measure_chained
 
     rng = np.random.default_rng(0)
     frame = jnp.asarray(rng.integers(0, 256, (1, 576, 752, 4), dtype=np.uint8))
-    res = measure_chained(enhance, frame, warmup=20, duration_s=duration, chunk=100)
+    # chunk=500: the tunnel amortizes one RTT per chunk (RTT/chunk adder per
+    # frame: ~1.5-3.5 ms at chunk=100, ~0.3-0.7 ms at 500). The chain inside
+    # a chunk is strictly dependent on-device work, so larger chunks are
+    # MORE honest about sustained on-device throughput, not less.
+    chunk = int(os.environ.get("BENCH_CHUNK", "500"))
+    res = measure_chained(enhance, frame, warmup=20, duration_s=duration, chunk=chunk)
 
     # Warm-start truth: what a FRESH process pays for frame 1 now that the
     # persistent cache holds this program (scripts/precompile.py is the
@@ -117,6 +126,7 @@ def main() -> None:
         "unit": "fps",
         "vs_baseline": round(res.fps / 60.0, 3),
         "ms_per_frame": round(res.ms_per_call, 3),
+        "p50_ms_per_frame": round(res.p50_ms, 3),
         "compile_s": round(res.compile_s, 1),
         "compile_state": "warm (persistent-cache entry existed)"
         if had_enhance_entry else "cold (no cache entry)",

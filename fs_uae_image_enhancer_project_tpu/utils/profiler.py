@@ -70,19 +70,21 @@ def measure_chained(
     """Sustained on-device throughput of ``fn`` whose output feeds its input
     (same shape/dtype). total_time / N is true per-call latency; chunked
     fetches bound the async pipeline without paying a round trip per call."""
+    # The chain never resets to ``x``: ``fn`` may donate its argument (the
+    # deployed enhance fn aliases frame buffers), which deletes ``x`` after
+    # the first call. Feeding each output forward is donation-safe and the
+    # same steady-state measurement.
     t0 = time.perf_counter()
-    y = fn(x)
-    _fetch(y)
+    acc = fn(x)
+    _fetch(acc)
     compile_s = time.perf_counter() - t0
 
-    acc = x
     for _ in range(max(warmup - 1, 0)):
         acc = fn(acc)
     _fetch(acc)
 
     lat = []
     iters = 0
-    acc = x
     start = time.perf_counter()
     deadline = start + duration_s
     while True:
