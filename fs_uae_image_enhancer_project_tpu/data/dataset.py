@@ -128,18 +128,23 @@ def split_pairs(
 
 
 def _load_pair(
-    pair: Pair, linear: bool, hflip: bool, vflip: bool
+    pair: Pair, linear: bool, hflip: bool, vflip: bool, as_uint8: bool = False
 ) -> Tuple[np.ndarray, np.ndarray]:
     from PIL import Image
 
     out = []
     for path in pair:
         with Image.open(path) as img:
-            arr = np.asarray(img.convert("RGB"), dtype=np.float32) / 255.0
+            arr = np.asarray(img.convert("RGB"))
         if hflip:
             arr = arr[:, ::-1]
         if vflip:
             arr = arr[::-1]
+        if as_uint8:
+            # raw bytes; /255 + gamma run on-device (batch_transform below)
+            out.append(np.ascontiguousarray(arr))
+            continue
+        arr = arr.astype(np.float32) / 255.0
         if linear:
             arr = arr**2.2  # sRGB -> linear approx (srdataset.py:337-338)
         out.append(np.ascontiguousarray(arr))
@@ -166,7 +171,11 @@ class SRDataset:
         linear: bool = True,
         flips: bool = True,
         num_workers: int = 4,
+        transfer_dtype: str = "float32",
     ):
+        if transfer_dtype not in ("float32", "uint8"):
+            raise ValueError(f"transfer_dtype must be float32|uint8, got "
+                             f"{transfer_dtype!r}")
         self.pool: List[Pair] = list(sample_pairs_list)
         if not self.pool:
             warnings.warn("SRDataset initialized with an empty sample pool.")
@@ -176,6 +185,11 @@ class SRDataset:
         self.linear = linear
         self.flips = flips
         self.num_workers = num_workers
+        # "uint8": batches stay raw bytes (4x less host->device transfer —
+        # the HBM-bandwidth rule: move bytes, not floats); consume with
+        # batch_transform on device. Draw/flip RNG streams are identical in
+        # both modes.
+        self.transfer_dtype = transfer_dtype
         self._rng = np.random.default_rng(seed)
 
     def __len__(self) -> int:
@@ -190,9 +204,11 @@ class SRDataset:
 
     def _load_planned(self, plan: Tuple[int, bool, bool]):
         idx, hflip, vflip = plan
+        as_u8 = self.transfer_dtype == "uint8"
         for _attempt in range(10):
             try:
-                return _load_pair(self.pool[idx], self.linear, hflip, vflip)
+                return _load_pair(self.pool[idx], self.linear, hflip, vflip,
+                                  as_uint8=as_u8)
             except Exception as e:  # retry with a deterministic fallback draw
                 warnings.warn(f"Error loading {self.pool[idx]}: {e}. Retrying.")
                 idx = (idx + 1) % len(self.pool)
@@ -215,6 +231,21 @@ class SRDataset:
                 lr = np.stack([a for a, _ in items])
                 hr = np.stack([b for _, b in items])
                 yield lr, hr
+
+
+def batch_transform(linear: bool):
+    """On-device counterpart of the float32 loader path for uint8-transfer
+    batches: uint8 -> [0,1] fp32 (+ sRGB->linear approx). Trace-time no-op
+    for float inputs, so callers can apply it unconditionally."""
+    import jax.numpy as jnp
+
+    def apply(x):
+        if x.dtype != jnp.uint8:
+            return x
+        x = x.astype(jnp.float32) / 255.0
+        return x**2.2 if linear else x
+
+    return apply
 
 
 def device_prefetch(iterator, size: int = 2, sharding=None):

@@ -91,16 +91,24 @@ def make_train_step(
     has_batchnorm: bool = False,
     compute_dtype=jnp.bfloat16,
     mesh: Optional[Mesh] = None,
+    input_transform: Optional[Callable] = None,
 ):
     """Build ``train_step(state, lr_batch, hr_batch) -> (state, loss)``.
 
     Batches are shaped (micro, per_micro, H, W, C): the leading axis is
     scanned for gradient accumulation (reference accumulation_steps,
     train.py:180-193); per_micro is the on-device batch, sharded over dp.
+    ``input_transform`` (e.g. data.dataset.batch_transform for uint8-transfer
+    batches) runs per micro-batch on device, after sharding — so the host
+    link carries bytes, not floats.
     """
+    if input_transform is None:
+        input_transform = lambda x: x  # noqa: E731
 
     def loss_fn(trainable, buffers, lr_mb, hr_mb):
         params = merge_bn_buffers(trainable, buffers)
+        lr_mb = input_transform(lr_mb)
+        hr_mb = input_transform(hr_mb)
         x = lr_mb.astype(compute_dtype)
         if has_batchnorm:
             y, bn_updates = model_apply(params, x, train=True)

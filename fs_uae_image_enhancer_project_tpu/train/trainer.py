@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import csv
 import dataclasses
+import gc
 import glob
 import json
 import os
@@ -324,12 +325,19 @@ class Trainer:
             def eval_put(x):  # noqa: F811
                 return jax.device_put(jnp.asarray(x), espec)
 
+        # uint8-transfer batches (SRDataset transfer_dtype="uint8") are
+        # normalized/linearized on device; trace-time no-op for fp32 batches.
+        from ..data.dataset import batch_transform
+
+        to_float = batch_transform(m.linear_io)
+
         train_step = jax.jit(
             make_train_step(
                 m.apply, self.criterion, optimizer,
                 has_batchnorm=self.has_bn,
                 compute_dtype=jnp.dtype(cfg.compute_dtype),
                 mesh=cfg.mesh,
+                input_transform=to_float,
             ),
             donate_argnums=(0,),
         )
@@ -337,6 +345,7 @@ class Trainer:
         @jax.jit
         def eval_loss(params, buffers, lr_b, hr_b):
             full = merge_bn_buffers(params, buffers)
+            lr_b, hr_b = to_float(lr_b), to_float(hr_b)
             x = lr_b.astype(jnp.dtype(cfg.compute_dtype))
             y = m.apply(full, x)  # inference mode: running BN stats
             return self.criterion(y.astype(jnp.float32), hr_b)
@@ -437,5 +446,12 @@ class Trainer:
                         m, full_params, cfg.samples_dir,
                         cfg.checkpoint_dir, epoch,
                     )
+
+            # Long runs through the remote-TPU tunnel accumulate host-side
+            # transfer buffers (observed ~1.7 GB/min RSS growth at fp32
+            # 376x288 batches); an epoch-boundary collect frees any
+            # cycle-held jax arrays cheaply. The structural fix is uint8
+            # transfer (SRDataset transfer_dtype="uint8").
+            gc.collect()
 
         return best_val, best_epoch, avg_inference_time

@@ -83,10 +83,15 @@ def main() -> int:
     print(f"pool: {len(train_pool)} train / {len(val_pool)} val pairs", flush=True)
 
     def make_ds(seed=0):
+        # uint8 transfer: the fp32 variant leaked host RSS ~1.7 GB/min
+        # through the tunnel client (round-3 observation); raw bytes cut
+        # link traffic 4x and the conversion runs on device.
         tr = SRDataset(train_pool, crop, args.samples_per_epoch,
-                       batch_size=args.batch_size, seed=seed)
+                       batch_size=args.batch_size, seed=seed,
+                       transfer_dtype="uint8")
         va = SRDataset(val_pool, crop, max(args.samples_per_epoch // 8, 64),
-                       batch_size=args.batch_size, flips=False, seed=1)
+                       batch_size=args.batch_size, flips=False, seed=1,
+                       transfer_dtype="uint8")
         return tr, va
 
     base = get_model("pix_shuffle")
@@ -129,8 +134,15 @@ def main() -> int:
                 base.init(jax.random.key(0)),
             )
 
+            from fs_uae_image_enhancer_project_tpu.data.dataset import (
+                batch_transform,
+            )
+
+            to_float = batch_transform(base.linear_io)
+
             @jax.jit
             def eval_step(p, lr_b, hr_b):
+                lr_b, hr_b = to_float(lr_b), to_float(hr_b)
                 y = base.apply(p, lr_b.astype(jnp.bfloat16)).astype(jnp.float32)
                 loss = novgg_criterion(y, hr_b)
                 # PSNR in the sRGB domain (linear io -> gamma for display)

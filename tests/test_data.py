@@ -160,3 +160,24 @@ def test_srdataset_corrupt_file_retry(tmp_path):
     with pytest.warns(UserWarning):
         batches = list(ds)
     assert len(batches) == 6  # epochs complete despite the corrupt file
+
+
+def test_srdataset_uint8_transfer_matches_float_path(tmp_path):
+    """transfer_dtype='uint8' + on-device batch_transform reproduces the
+    float32 loader path exactly (same RNG stream, same values), with raw
+    bytes on the wire."""
+    from fs_uae_image_enhancer_project_tpu.data.dataset import batch_transform
+
+    train_dir = _make_tree(str(tmp_path))
+    pairs = gather_all_samples_from_directory(train_dir, (8, 8), verbose=0)
+    kw = dict(num_samples=4, batch_size=2, seed=7, linear=True)
+    f32 = list(SRDataset(pairs, (8, 8), **kw))
+    u8 = list(SRDataset(pairs, (8, 8), transfer_dtype="uint8", **kw))
+    to_float = batch_transform(linear=True)
+    for (lf, hf), (lu, hu) in zip(f32, u8):
+        assert lu.dtype == np.uint8 and hu.dtype == np.uint8
+        np.testing.assert_allclose(np.asarray(to_float(lu)), lf, atol=2e-7)
+        np.testing.assert_allclose(np.asarray(to_float(hu)), hf, atol=2e-7)
+    # float batches pass through batch_transform untouched
+    lf0 = f32[0][0]
+    np.testing.assert_array_equal(np.asarray(to_float(lf0)), lf0)
