@@ -214,6 +214,180 @@ def _emit_pix_shuffle_body(
     return b.add_node("Relu", [t], ["model_output"])[0]
 
 
+def _flatten_params(params: Params, prefix: str = "") -> Params:
+    """Flatten nested block pytrees to dotted keys so the emitter's flat
+    ``params[name]`` lookups (and initializer names) stay collision-free:
+    ``{"enc0_block0": {"conv1": {...}}}`` -> ``{"enc0_block0.conv1": {...}}``.
+    Leaves are the per-op dicts (anything containing an array-valued 'w',
+    'slope', 'bias', 'a', ...)."""
+    flat: Params = {}
+    for k, v in params.items():
+        name = f"{prefix}{k}"
+        if isinstance(v, dict) and v and all(
+            isinstance(sv, dict) for sv in v.values()
+        ):
+            flat.update(_flatten_params(v, f"{name}."))
+        else:
+            flat[name] = v
+    return flat
+
+
+def _emit_pixel_unshuffle(
+    em: _ModelEmitter, x: str, tag: str, n: int, c: int, h: int, w: int, r: int
+) -> str:
+    """torch PixelUnshuffle(r) as Reshape/Transpose/Reshape (the pattern
+    torch itself exports; matches ops/pixel_shuffle.pixel_unshuffle)."""
+    b = em.b
+    s1 = em.const(f"{tag}_shape1",
+                  np.array([n, c, h // r, r, w // r, r], np.int64))
+    t = b.add_node("Reshape", [x, s1])[0]
+    t = b.add_node("Transpose", [t], perm=[0, 1, 3, 5, 2, 4])[0]
+    s2 = em.const(f"{tag}_shape2",
+                  np.array([n, c * r * r, h // r, w // r], np.int64))
+    return b.add_node("Reshape", [t, s2])[0]
+
+
+def _emit_feature_block(em: _ModelEmitter, block: str, x: str,
+                        acts_resolved) -> str:
+    """ResidualFeatureBlock (models/blocks.apply_feature_block:94-107):
+    conv1 -> conv2 -> act1 -> act2 -> conv3 -> act3 -> (+identity/proj) ->
+    act4. ``acts_resolved`` comes from models.blocks.resolve_block_acts."""
+    b = em.b
+    identity = x
+    t = em.conv(f"{block}.conv1", x)
+    t = em.conv(f"{block}.conv2", t)
+    t = em.activation(f"{block}.act1", acts_resolved[0], t)
+    t = em.activation(f"{block}.act2", acts_resolved[1], t)
+    t = em.conv(f"{block}.conv3", t)
+    t = em.activation(f"{block}.act3", acts_resolved[2], t)
+    if f"{block}.proj" in em.params:
+        identity = em.conv(f"{block}.proj", identity)
+    t = b.add_node("Add", [identity, t])[0]
+    return em.activation(f"{block}.act4", acts_resolved[3], t)
+
+
+def _emit_residual_unet_body(
+    em: _ModelEmitter, cfg, x: str, n: int, h: int, w: int
+) -> str:
+    """The residual U-Net forward (models/residual_unet.apply:96-133) in
+    NCHW: unshuffle stem, per-level encoder blocks, bottleneck, decoder
+    with DepthToSpace(CRD) upsampling + skip concats (original input at the
+    top level), final ReLU."""
+    from ..models.blocks import resolve_block_acts
+    from ..models.residual_unet import _level_channels, _mid
+
+    b = em.b
+    lc = _level_channels(cfg)
+    original = x
+    t = _emit_pixel_unshuffle(em, x, "stem_unshuffle", n,
+                              cfg.input_channels, h, w, 2)
+    t = em.conv("stem", t)
+    ch, cur_h, cur_w = lc[0], h // 2, w // 2
+    enc_feats = []
+    for i in range(cfg.blocks_per_level):
+        t = _emit_feature_block(
+            em, f"enc0_block{i}", t,
+            resolve_block_acts(cfg.acts, _mid(cfg, lc[0]), lc[0]))
+    enc_feats.append(t)
+    for d in range(1, cfg.unet_depth):
+        t = _emit_pixel_unshuffle(em, t, f"enc{d}_unshuffle", n,
+                                  ch, cur_h, cur_w, 2)
+        ch, cur_h, cur_w = ch * 4, cur_h // 2, cur_w // 2
+        for i in range(cfg.blocks_per_level):
+            t = _emit_feature_block(
+                em, f"enc{d}_block{i}", t,
+                resolve_block_acts(cfg.acts, _mid(cfg, lc[d]), lc[d]))
+        ch = lc[d]
+        enc_feats.append(t)
+    for i in range(cfg.blocks_per_level):
+        t = _emit_feature_block(
+            em, f"bottleneck_block{i}", t,
+            resolve_block_acts(cfg.acts, _mid(cfg, lc[-1]), lc[-1]))
+    for i in range(cfg.unet_depth):
+        d_val = cfg.unet_depth - 1 - i
+        t = b.add_node("DepthToSpace", [t], blocksize=2, mode="CRD")[0]
+        skip = original if d_val == 0 else enc_feats[d_val - 1]
+        t = b.add_node("Concat", [t, skip], axis=1)[0]
+        if d_val == 0:
+            t = em.conv("dec_final", t)
+        else:
+            out_ch = cfg.base_channels * (2 ** d_val)
+            for j in range(cfg.blocks_per_level):
+                t = _emit_feature_block(
+                    em, f"dec{i}_block{j}", t,
+                    resolve_block_acts(cfg.acts, _mid(cfg, out_ch), out_ch))
+    return b.add_node("Relu", [t], ["model_output"])[0]
+
+
+def export_residual_unet_onnx(
+    params: Params,
+    cfg,
+    out_path: str,
+    *,
+    crop_left: int = CROP_LEFT,
+    fp16: bool = False,
+    frame_h: int = FRAME_H,
+    frame_w: int = FRAME_W,
+) -> str:
+    """Emit a residual U-Net deployment artifact — a capability the
+    reference does NOT have (convertion_tools/torch2onnx.py handles only
+    the conv and pix_shuffle families; model_residual_unet.py ships with no
+    artifacts). Same chunky-RGBA + gamma wrapper contract as pix_shuffle;
+    crop_left=16 keeps the model width at 736, divisible by 2^depth for
+    depth <= 4."""
+    elem = FLOAT16 if fp16 else FLOAT
+    model_w = frame_w - crop_left
+    factor = 2 ** cfg.unet_depth
+    if frame_h % factor or model_w % factor:
+        raise ValueError(
+            f"{frame_h}x{model_w} not divisible by 2^depth={factor}")
+    b = GraphBuilder("fs_uae_enhance_unet")
+    em = _ModelEmitter(b, _flatten_params(params), elem)
+    n = 1
+
+    b.add_input("input_rgba_chunky", UINT8, (n, frame_h, frame_w, 4))
+    t = b.add_node("Transpose", ["input_rgba_chunky"], perm=[0, 3, 1, 2])[0]
+    starts = b.add_initializer("slice_starts_constant", np.array([0], np.int64))
+    ends = b.add_initializer("slice_ends_constant", np.array([3], np.int64))
+    axes = b.add_initializer("slice_axes_constant", np.array([1], np.int64))
+    t = b.add_node("Slice", [t, starts, ends, axes])[0]
+    if crop_left:
+        cs = b.add_initializer("crop_starts", np.array([crop_left], np.int64))
+        ce = b.add_initializer("crop_ends", np.array([frame_w], np.int64))
+        ca = b.add_initializer("crop_axes", np.array([3], np.int64))
+        t = b.add_node("Slice", [t, cs, ce, ca])[0]
+    t = b.add_node("Cast", [t], to=elem)[0]
+    c255 = em.scalar("div_by_255_constant", 255.0)
+    t = b.add_node("Div", [t, c255])[0]
+    g1 = em.scalar("gamma_srgb_to_linear_exponent", 2.2)
+    t = b.add_node("Pow", [t, g1])[0]
+
+    out = _emit_residual_unet_body(em, cfg, t, n, frame_h, model_w)
+
+    g2 = em.scalar("gamma_linear_to_srgb_exponent", 1.0 / 2.2)
+    t = b.add_node("Pow", [out, g2])[0]
+    t = b.add_node("Mul", [t, c255])[0]
+    zero = em.scalar("clip_min_constant", 0.0)
+    t = b.add_node("Clip", [t, zero, c255])[0]
+    t = b.add_node("Cast", [t], to=UINT8)[0]
+    if crop_left:
+        pads = b.add_initializer(
+            "crop_pad_pads",
+            np.array([0, 0, 0, crop_left, 0, 0, 0, 0], np.int64))
+        zero_u8 = b.add_initializer("crop_pad_value", np.array(0, np.uint8))
+        t = b.add_node("Pad", [t, pads, zero_u8])[0]
+    apads = b.add_initializer(
+        "pad_pads_constant", np.array([0, 0, 0, 0, 0, 1, 0, 0], np.int64))
+    aval = b.add_initializer("pad_value_constant", np.array(255, np.uint8))
+    t = b.add_node("Pad", [t, apads, aval])[0]
+    b.add_node("Transpose", [t], ["output_rgba_uint8_chunky"],
+               perm=[0, 2, 3, 1])
+    b.add_output("output_rgba_uint8_chunky", UINT8, (n, frame_h, frame_w, 4))
+    with open(out_path, "wb") as f:
+        f.write(b.serialize_model(opset=13))
+    return out_path
+
+
 def export_conv_stack_onnx(
     params: Params,
     cfg,

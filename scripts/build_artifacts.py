@@ -168,6 +168,63 @@ def build_pix_shuffle_heavy_artifact() -> None:
     print(name, json.dumps(report), flush=True)
 
 
+def build_residual_unet_artifact() -> None:
+    """Residual U-Net deployment artifact (fresh-init — the reference has
+    no unet export path or artifacts at all; torch2onnx.py covers only the
+    conv/pix_shuffle families). fp32 graph, verified by round-tripping
+    against the native jax path on a 160x160 crop (full-frame numpy-runner
+    execution of a depth-3 unet costs minutes; convs are local so the crop
+    is equivalent — crop side must divide 2^depth)."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from fs_uae_image_enhancer_project_tpu.export.enhance import make_enhance_fn
+    from fs_uae_image_enhancer_project_tpu.export.onnx_export import (
+        export_residual_unet_onnx,
+    )
+    from fs_uae_image_enhancer_project_tpu.export.onnx_runner import run_graph
+    from fs_uae_image_enhancer_project_tpu.export.onnx_proto import load_model
+    from fs_uae_image_enhancer_project_tpu.export.onnx_svg import render_file
+    from fs_uae_image_enhancer_project_tpu.models import get_model
+
+    name = "residual_unet"
+    out_dir = os.path.join(OUT, f"model_{name}")
+    os.makedirs(out_dir, exist_ok=True)
+    m = get_model(name)
+    params = m.init(jax.random.key(0))
+    onnx_out = os.path.join(out_dir, f"{name}.onnx")
+    export_residual_unet_onnx(params, m.config, onnx_out, crop_left=16,
+                              fp16=False)
+    render_file(onnx_out)
+
+    # verification graph at crop size (same weights, no crop/pad wrapper)
+    S = 160
+    verify_out = os.path.join(out_dir, f"{name}_verify_160.onnx")
+    export_residual_unet_onnx(params, m.config, verify_out, crop_left=0,
+                              fp16=False, frame_h=S, frame_w=S)
+    rng = np.random.default_rng(0)
+    crop = rng.integers(0, 256, (1, S, S, 4), dtype=np.uint8)
+    graph = run_graph(load_model(verify_out).graph,
+                      {"input_rgba_chunky": crop})["output_rgba_uint8_chunky"][0]
+    enhance = make_enhance_fn(
+        lambda p, x: m.apply(p, x), params, crop_left=0,
+        compute_dtype=jnp.float32, donate=False,
+    )
+    native = np.asarray(enhance(jnp.asarray(crop)))[0]
+    os.remove(verify_out)  # verification intermediate, not a shipped file
+    report = {
+        "weights": "fresh-init (the reference has no unet artifacts)",
+        "crop160_psnr_exported_vs_native_db": _psnr(
+            graph[..., :3], native[..., :3]
+        ),
+    }
+    with open(os.path.join(out_dir, "parity_report.json"), "w") as f:
+        json.dump(report, f, indent=1)
+    print(name, json.dumps(report), flush=True)
+
+
 def main() -> int:
     import numpy as np
     from PIL import Image
@@ -188,6 +245,7 @@ def main() -> int:
 
     build_conv_stack_artifacts()
     build_pix_shuffle_heavy_artifact()
+    build_residual_unet_artifact()
 
     name = "pix_shuffle"
     out_dir = os.path.join(OUT, f"model_{name}")

@@ -266,3 +266,52 @@ def test_committed_artifact_reports_clear_family_bar():
                    if k.endswith("_db") and "fp16" not in k]
         assert primary, path
         assert min(primary) >= 63.0, (path, r)
+
+
+def test_export_residual_unet_roundtrip(tmp_path):
+    """residual U-Net ONNX emission (a capability the reference lacks —
+    torch2onnx.py covers only conv/pix_shuffle): exported graph executed by
+    the numpy runner matches the native jax enhance path."""
+    from fs_uae_image_enhancer_project_tpu.export.onnx_export import (
+        export_residual_unet_onnx,
+    )
+    from fs_uae_image_enhancer_project_tpu.models import residual_unet
+    from fs_uae_image_enhancer_project_tpu.models.configs import (
+        ResidualUNetConfig,
+    )
+
+    cfg = ResidualUNetConfig(unet_depth=2, blocks_per_level=1,
+                             base_channels=8,
+                             internal_block_channels_ratio=1.5)
+    params = residual_unet.init(jax.random.key(2), cfg)
+    path = str(tmp_path / "unet.onnx")
+    export_residual_unet_onnx(params, cfg, path, crop_left=0, fp16=False,
+                              frame_h=32, frame_w=64)
+    frame = np.random.default_rng(1).integers(0, 256, (1, 32, 64, 4),
+                                              np.uint8)
+    y = run_model(path, {"input_rgba_chunky": frame})[
+        "output_rgba_uint8_chunky"]
+    enh = make_enhance_fn(
+        lambda p, x: residual_unet.apply(p, x, cfg), params, crop_left=0,
+        compute_dtype=jnp.float32, donate=False)
+    y_jax = np.asarray(enh(jnp.asarray(frame)))
+    assert y.shape == (1, 32, 64, 4)
+    np.testing.assert_array_equal(y[..., 3], 255)
+    assert _psnr(y_jax[..., :3], y[..., :3]) >= 45.0
+
+
+def test_export_residual_unet_rejects_indivisible(tmp_path):
+    from fs_uae_image_enhancer_project_tpu.export.onnx_export import (
+        export_residual_unet_onnx,
+    )
+    from fs_uae_image_enhancer_project_tpu.models import residual_unet
+    from fs_uae_image_enhancer_project_tpu.models.configs import (
+        ResidualUNetConfig,
+    )
+
+    cfg = ResidualUNetConfig(unet_depth=3, blocks_per_level=1,
+                             base_channels=8)
+    params = residual_unet.init(jax.random.key(0), cfg)
+    with pytest.raises(ValueError, match="divisible"):
+        export_residual_unet_onnx(params, cfg, str(tmp_path / "x.onnx"),
+                                  crop_left=0, frame_h=30, frame_w=64)
