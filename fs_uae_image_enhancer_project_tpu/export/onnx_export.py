@@ -174,7 +174,18 @@ def _emit_pix_shuffle_body(
     )
     t = b.add_node("Reshape", [t, shape2])[0]
 
-    L = cfg.layers
+    t = _emit_conv7_chain(em, cfg.layers, t)
+    # PixelShuffle(2) == DepthToSpace mode=CRD
+    t = b.add_node("DepthToSpace", [t], blocksize=r, mode="CRD")[0]
+    t = b.add_node("Add", [identity, t])[0]
+    return b.add_node("Relu", [t], ["model_output"])[0]
+
+
+def _emit_conv7_chain(em: _ModelEmitter, L, t: str) -> str:
+    """The shared 7-conv chain (pix_shuffle body == conv6 body: residual
+    adds at layers 2/4 with optional projections, long-skip concat into
+    layer 6 — models/pix_shuffle.py apply / models/conv6.py apply)."""
+    b = em.b
 
     def acts(layer_i: int, slots, t: str) -> str:
         for si in slots:
@@ -208,10 +219,7 @@ def _emit_pix_shuffle_body(
     t = acts(6, (1, 2), t)
     t = em.conv("conv7", t)
     t = acts(7, (1, 2), t)
-    # PixelShuffle(2) == DepthToSpace mode=CRD
-    t = b.add_node("DepthToSpace", [t], blocksize=r, mode="CRD")[0]
-    t = b.add_node("Add", [identity, t])[0]
-    return b.add_node("Relu", [t], ["model_output"])[0]
+    return t
 
 
 def _flatten_params(params: Params, prefix: str = "") -> Params:
@@ -317,6 +325,60 @@ def _emit_residual_unet_body(
                     em, f"dec{i}_block{j}", t,
                     resolve_block_acts(cfg.acts, _mid(cfg, out_ch), out_ch))
     return b.add_node("Relu", [t], ["model_output"])[0]
+
+
+def export_conv6_onnx(
+    params: Params,
+    cfg,
+    out_path: str,
+    *,
+    fp16: bool = False,
+    frame_h: int = FRAME_H,
+    frame_w: int = FRAME_W,
+) -> str:
+    """Emit a conv6 deployment artifact. conv6 is the reference's phantom
+    NAS target (the module the optuna studies import but the repo never
+    shipped — optuna_study_prune_act_r2.py:106-113); here the family is
+    both trainable AND deployable: full-res 7-conv chain (shared with
+    pix_shuffle's body), global identity residual + ReLU, linear-light
+    gamma wrapper, full chunky-RGBA contract."""
+    elem = FLOAT16 if fp16 else FLOAT
+    b = GraphBuilder("fs_uae_enhance_conv6")
+    em = _ModelEmitter(b, params, elem)
+    n = 1
+    b.add_input("input_rgba_chunky", UINT8, (n, frame_h, frame_w, 4))
+    t = b.add_node("Transpose", ["input_rgba_chunky"], perm=[0, 3, 1, 2])[0]
+    starts = b.add_initializer("slice_starts_constant", np.array([0], np.int64))
+    ends = b.add_initializer("slice_ends_constant", np.array([3], np.int64))
+    axes = b.add_initializer("slice_axes_constant", np.array([1], np.int64))
+    t = b.add_node("Slice", [t, starts, ends, axes])[0]
+    t = b.add_node("Cast", [t], to=elem)[0]
+    c255 = em.scalar("div_by_255_constant", 255.0)
+    t = b.add_node("Div", [t, c255])[0]
+    g1 = em.scalar("gamma_srgb_to_linear_exponent", 2.2)
+    t = b.add_node("Pow", [t, g1])[0]
+
+    identity = t
+    t = _emit_conv7_chain(em, cfg.layers, t)
+    t = b.add_node("Add", [identity, t])[0]
+    t = b.add_node("Relu", [t], ["model_output"])[0]
+
+    g2 = em.scalar("gamma_linear_to_srgb_exponent", 1.0 / 2.2)
+    t = b.add_node("Pow", [t, g2])[0]
+    t = b.add_node("Mul", [t, c255])[0]
+    zero = em.scalar("clip_min_constant", 0.0)
+    t = b.add_node("Clip", [t, zero, c255])[0]
+    t = b.add_node("Cast", [t], to=UINT8)[0]
+    apads = b.add_initializer(
+        "pad_pads_constant", np.array([0, 0, 0, 0, 0, 1, 0, 0], np.int64))
+    aval = b.add_initializer("pad_value_constant", np.array(255, np.uint8))
+    t = b.add_node("Pad", [t, apads, aval])[0]
+    b.add_node("Transpose", [t], ["output_rgba_uint8_chunky"],
+               perm=[0, 2, 3, 1])
+    b.add_output("output_rgba_uint8_chunky", UINT8, (n, frame_h, frame_w, 4))
+    with open(out_path, "wb") as f:
+        f.write(b.serialize_model(opset=13))
+    return out_path
 
 
 def export_residual_unet_onnx(

@@ -168,6 +168,56 @@ def build_pix_shuffle_heavy_artifact() -> None:
     print(name, json.dumps(report), flush=True)
 
 
+def build_conv6_artifact() -> None:
+    """conv6 deployment artifact (fresh-init — the reference never shipped
+    the module, let alone weights): fp32 graph, verified on a 160x160 crop
+    vs the native jax path."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from fs_uae_image_enhancer_project_tpu.export.enhance import make_enhance_fn
+    from fs_uae_image_enhancer_project_tpu.export.onnx_export import (
+        export_conv6_onnx,
+    )
+    from fs_uae_image_enhancer_project_tpu.export.onnx_runner import run_graph
+    from fs_uae_image_enhancer_project_tpu.export.onnx_proto import load_model
+    from fs_uae_image_enhancer_project_tpu.export.onnx_svg import render_file
+    from fs_uae_image_enhancer_project_tpu.models import get_model
+
+    name = "conv6"
+    out_dir = os.path.join(OUT, f"model_{name}")
+    os.makedirs(out_dir, exist_ok=True)
+    m = get_model(name)
+    params = m.init(jax.random.key(0))
+    onnx_out = os.path.join(out_dir, f"{name}.onnx")
+    export_conv6_onnx(params, m.config, onnx_out, fp16=False)
+    render_file(onnx_out)
+
+    S = 160
+    verify_out = os.path.join(out_dir, f"{name}_verify_160.onnx")
+    export_conv6_onnx(params, m.config, verify_out, fp16=False,
+                      frame_h=S, frame_w=S)
+    rng = np.random.default_rng(0)
+    crop = rng.integers(0, 256, (1, S, S, 4), dtype=np.uint8)
+    graph = run_graph(load_model(verify_out).graph,
+                      {"input_rgba_chunky": crop})["output_rgba_uint8_chunky"][0]
+    enhance = make_enhance_fn(m.apply, params, crop_left=0,
+                              compute_dtype=jnp.float32, donate=False)
+    native = np.asarray(enhance(jnp.asarray(crop)))[0]
+    os.remove(verify_out)
+    report = {
+        "weights": "fresh-init (reference never shipped the conv6 module)",
+        "crop160_psnr_exported_vs_native_db": _psnr(
+            graph[..., :3], native[..., :3]
+        ),
+    }
+    with open(os.path.join(out_dir, "parity_report.json"), "w") as f:
+        json.dump(report, f, indent=1)
+    print(name, json.dumps(report), flush=True)
+
+
 def build_residual_unet_artifact() -> None:
     """Residual U-Net deployment artifact (fresh-init — the reference has
     no unet export path or artifacts at all; torch2onnx.py covers only the
@@ -246,6 +296,7 @@ def main() -> int:
     build_conv_stack_artifacts()
     build_pix_shuffle_heavy_artifact()
     build_residual_unet_artifact()
+    build_conv6_artifact()
 
     name = "pix_shuffle"
     out_dir = os.path.join(OUT, f"model_{name}")

@@ -315,3 +315,28 @@ def test_export_residual_unet_rejects_indivisible(tmp_path):
     with pytest.raises(ValueError, match="divisible"):
         export_residual_unet_onnx(params, cfg, str(tmp_path / "x.onnx"),
                                   crop_left=0, frame_h=30, frame_w=64)
+
+
+def test_export_conv6_roundtrip(tmp_path):
+    """conv6 (the reference's phantom NAS family) ONNX emission: exported
+    graph via the numpy runner matches the native jax path, exercising the
+    NAS activation set (mish/telu/sinlu/biased_relu/prelu/...)."""
+    from fs_uae_image_enhancer_project_tpu.export.onnx_export import (
+        export_conv6_onnx,
+    )
+    from fs_uae_image_enhancer_project_tpu.models import get_model
+
+    m = get_model("conv6")
+    params = m.init(jax.random.key(3))
+    path = str(tmp_path / "conv6.onnx")
+    export_conv6_onnx(params, m.config, path, fp16=False,
+                      frame_h=24, frame_w=40)
+    frame = np.random.default_rng(5).integers(0, 256, (1, 24, 40, 4),
+                                              np.uint8)
+    y = run_model(path, {"input_rgba_chunky": frame})[
+        "output_rgba_uint8_chunky"]
+    enh = make_enhance_fn(m.apply, params, crop_left=0,
+                          compute_dtype=jnp.float32, donate=False)
+    y_jax = np.asarray(enh(jnp.asarray(frame)))
+    np.testing.assert_array_equal(y[..., 3], 255)
+    assert _psnr(y_jax[..., :3], y[..., :3]) >= 45.0
