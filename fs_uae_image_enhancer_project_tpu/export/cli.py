@@ -28,7 +28,9 @@ def main(argv: Optional[list] = None) -> int:
     ap = argparse.ArgumentParser(description="Export a trained model for deployment")
     ap.add_argument("--checkpoint", required=True, help="orbax checkpoint dir")
     ap.add_argument("--model_type", default="pix_shuffle",
-                    choices=["pix_shuffle", "pix_shuffle_heavy"])
+                    choices=["pix_shuffle", "pix_shuffle_heavy",
+                             "conv3", "conv3_heavy", "conv5", "conv5_heavy",
+                             "conv6", "residual_unet"])
     ap.add_argument("--output", required=True, help=".onnx output path")
     ap.add_argument("--stablehlo", default=None,
                     help="optional jax.export artifact output path")
@@ -44,31 +46,89 @@ def main(argv: Optional[list] = None) -> int:
 
     from ..models import get_model
     from ..train.trainer import load_params
-    from .onnx_export import export_pix_shuffle_onnx
+    from .onnx_export import (
+        export_conv6_onnx,
+        export_conv_stack_onnx,
+        export_pix_shuffle_onnx,
+        export_residual_unet_onnx,
+    )
     from .onnx_runner import verify_onnx_model
 
-    m = get_model(args.model_type)
+    base = args.model_type.partition("_heavy")[0]
+    variant = "heavyweight" if args.model_type.endswith("_heavy") else "lightweight"
+    if args.model_type in ("pix_shuffle", "pix_shuffle_heavy"):
+        m = get_model("pix_shuffle", variant)
+    elif base in ("conv3", "conv5"):
+        m = get_model(base, variant)
+    else:
+        m = get_model(args.model_type)
     params = load_params(args.checkpoint, m.init(jax.random.key(0)))
     print(f"loaded checkpoint {args.checkpoint}")
 
-    out = export_pix_shuffle_onnx(
-        params, m.config, args.output,
-        crop_left=args.crop_left, fp16=not args.fp32,
-    )
+    fp16 = not args.fp32
+    verify_crop = None  # (exporter-kwargs, crop side) for families whose
+    # full-frame numpy-runner execution is too slow for an inline verify
+    if args.model_type in ("pix_shuffle", "pix_shuffle_heavy"):
+        out = export_pix_shuffle_onnx(
+            params, m.config, args.output,
+            crop_left=args.crop_left, fp16=fp16,
+        )
+        export_params = params
+    elif base in ("conv3", "conv5"):
+        from ..models.conv_stack import fuse
+
+        export_params = fuse(params, m.config)
+        out = export_conv_stack_onnx(export_params, m.config, args.output,
+                                     fp16=fp16)
+        verify_crop = (export_conv_stack_onnx, 160)
+    elif args.model_type == "conv6":
+        export_params = params
+        out = export_conv6_onnx(params, m.config, args.output, fp16=fp16)
+        verify_crop = (export_conv6_onnx, 160)
+    else:  # residual_unet
+        export_params = params
+        out = export_residual_unet_onnx(
+            params, m.config, args.output, crop_left=args.crop_left,
+            fp16=fp16,
+        )
+        verify_crop = (export_residual_unet_onnx, 160)
     print(f"wrote {out}")
 
     if not args.skip_verify:
-        outs = verify_onnx_model(out)
-        # cross-check vs the native jax enhance path on the same frame
         from .enhance import make_enhance_fn
 
+        if verify_crop is None:
+            outs = verify_onnx_model(out)
+            shape = (1, 576, 752, 4)
+            crop_left = args.crop_left if args.model_type.startswith(
+                "pix_shuffle") else 0
+        else:
+            # emit a crop-sized graph with the same weights for verification
+            # (full-frame unet/conv6 through the numpy runner costs minutes)
+            exporter, side = verify_crop
+            import tempfile
+
+            with tempfile.NamedTemporaryFile(suffix=".onnx") as tmp:
+                kw = dict(fp16=fp16, frame_h=side, frame_w=side)
+                if exporter is export_residual_unet_onnx:
+                    kw["crop_left"] = 0
+                exporter(export_params, m.config, tmp.name, **kw)
+                outs = verify_onnx_model(tmp.name)
+            shape = (1, side, side, 4)
+            crop_left = 0
+        # cross-check vs the native jax enhance path on the same frame
+        srgb = base in ("conv3", "conv5")
+        if srgb:
+            from ..models.conv_stack import apply_fused
+
+            apply = lambda p, x: apply_fused(p, x, m.config)  # noqa: E731
+        else:
+            apply = m.apply
         enhance = make_enhance_fn(
-            m.apply, params, crop_left=args.crop_left,
-            compute_dtype=jnp.float32, donate=False,
+            apply, export_params, crop_left=crop_left,
+            compute_dtype=jnp.float32, srgb_domain=srgb, donate=False,
         )
-        frame = np.random.default_rng(0).integers(
-            0, 256, (1, 576, 752, 4), dtype=np.uint8
-        )
+        frame = np.random.default_rng(0).integers(0, 256, shape, np.uint8)
         ours = np.asarray(enhance(jnp.asarray(frame)))
         theirs = outs["output_rgba_uint8_chunky"]
         mse = np.mean(

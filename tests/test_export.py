@@ -340,3 +340,27 @@ def test_export_conv6_roundtrip(tmp_path):
     y_jax = np.asarray(enh(jnp.asarray(frame)))
     np.testing.assert_array_equal(y[..., 3], 255)
     assert _psnr(y_jax[..., :3], y[..., :3]) >= 45.0
+
+
+def test_export_cli_conv6(tmp_path):
+    """Export CLI end-to-end for a non-pix_shuffle family: checkpoint ->
+    conv6 .onnx -> crop-sized numpy-runner verify + jax cross-check."""
+    from fs_uae_image_enhancer_project_tpu.export import cli
+    from fs_uae_image_enhancer_project_tpu.models import get_model
+    from fs_uae_image_enhancer_project_tpu.parallel.train_step import (
+        TrainState,
+    )
+    from fs_uae_image_enhancer_project_tpu.train.trainer import (
+        save_checkpoint,
+    )
+
+    m = get_model("conv6")
+    params = m.init(jax.random.key(1))
+    ckpt = str(tmp_path / "ck")
+    save_checkpoint(ckpt, TrainState(jnp.zeros((), jnp.int32), params, {},
+                                     {}))
+    out = str(tmp_path / "conv6.onnx")
+    rc = cli.main(["--checkpoint", ckpt, "--model_type", "conv6",
+                   "--output", out, "--fp32"])
+    assert rc == 0
+    assert os.path.getsize(out) > 100_000
