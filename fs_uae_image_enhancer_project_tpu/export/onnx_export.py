@@ -122,6 +122,12 @@ class _ModelEmitter:
             )[0]
         if name == "softplus":
             return b.add_node("Softplus", [x], [f"{slot}_out"])[0]
+        if name in ("softmax", "log_softmax"):
+            # model acts are NHWC-axis configs; the graph is NCHW
+            nhwc_axis = int(cfg.get("axis", -1))
+            axis = {-1: 1, 3: 1, 0: 0, 1: 2, 2: 3}[nhwc_axis]
+            op = "Softmax" if name == "softmax" else "LogSoftmax"
+            return b.add_node(op, [x], [f"{slot}_out"], axis=axis)[0]
         if name == "scaled_tanh":
             th = b.add_node("Tanh", [x])[0]
             one = self.scalar(f"{slot}_one", 1.0)

@@ -6,7 +6,8 @@ onnxruntime is not in this image, so this module interprets the op subset
 used by the reference's shipped artifacts and by our exporter:
 
 Transpose Slice Cast Div Mul Add Sub Pow Exp Sin Tanh Sigmoid Softplus Relu
-LeakyRelu Elu Gelu PRelu Clip Concat Reshape Pad Conv DepthToSpace(CRD/DCR).
+LeakyRelu Elu Gelu PRelu Clip Concat Reshape Pad Conv DepthToSpace(CRD/DCR)
+Softmax LogSoftmax Erf.
 
 Conv is stride-1 SAME/explicit-pads NCHW via sliding_window_view + einsum —
 plenty for verification runs (and it makes the shipped reference .onnx
@@ -120,6 +121,14 @@ def run_graph(graph: Graph, feeds: Dict[str, np.ndarray]) -> Dict[str, np.ndarra
         elif op == "Softplus":
             xf = a.astype(np.float32)
             out = np.logaddexp(0.0, xf).astype(a.dtype)
+        elif op in ("Softmax", "LogSoftmax"):
+            axis = node.attr("axis", -1)
+            xf = a.astype(np.float32)
+            xf = xf - np.max(xf, axis=axis, keepdims=True)
+            e = np.exp(xf)
+            s = np.sum(e, axis=axis, keepdims=True)
+            out = (e / s if op == "Softmax"
+                   else xf - np.log(s)).astype(a.dtype)
         elif op == "Relu":
             out = np.maximum(a, 0)
         elif op == "LeakyRelu":

@@ -364,3 +364,34 @@ def test_export_cli_conv6(tmp_path):
                    "--output", out, "--fp32"])
     assert rc == 0
     assert os.path.getsize(out) > 100_000
+
+
+def test_export_softmax_activations_roundtrip(tmp_path):
+    """The last two registry activations (softmax/log_softmax, channel
+    axis): emitter maps the NHWC axis config to the NCHW graph axis and
+    the runner reproduces the jax path — closing 20/20 ONNX-emittable
+    activations."""
+    from fs_uae_image_enhancer_project_tpu.export.onnx_export import (
+        export_conv6_onnx,
+    )
+    from fs_uae_image_enhancer_project_tpu.models import conv6
+    from fs_uae_image_enhancer_project_tpu.models.configs import (
+        Conv6Config, ConvLayerSpec, act,
+    )
+
+    layers = list(conv6.default_config().layers)
+    layers[2] = ConvLayerSpec(36, 3, (act("softmax"), act("identity")))
+    layers[4] = ConvLayerSpec(36, 3, (act("log_softmax"), act("identity")))
+    cfg = Conv6Config(layers=tuple(layers))
+    params = conv6.init(jax.random.key(6), cfg)
+    path = str(tmp_path / "c6sm.onnx")
+    export_conv6_onnx(params, cfg, path, fp16=False, frame_h=16, frame_w=24)
+    frame = np.random.default_rng(9).integers(0, 256, (1, 16, 24, 4),
+                                              np.uint8)
+    y = run_model(path, {"input_rgba_chunky": frame})[
+        "output_rgba_uint8_chunky"]
+    enh = make_enhance_fn(
+        lambda p, x: conv6.apply(p, x, cfg), params, crop_left=0,
+        compute_dtype=jnp.float32, donate=False)
+    y_jax = np.asarray(enh(jnp.asarray(frame)))
+    assert _psnr(y_jax[..., :3], y[..., :3]) >= 45.0
