@@ -64,11 +64,7 @@ def main() -> None:
     )
 
     cache_dir = enable_persistent_cache()
-    # Whether this process will cold-compile or warm-start: the enhance
-    # program's persistent-cache entry is named jit_enhance-<key>.
-    import glob
-
-    had_enhance_entry = bool(glob.glob(os.path.join(cache_dir, "jit_enhance-*")))
+    bench_start = time.time()
 
     from fs_uae_image_enhancer_project_tpu.export.enhance import (
         default_enhance_fn,
@@ -99,11 +95,28 @@ def main() -> None:
     chunk = int(os.environ.get("BENCH_CHUNK", "500"))
     res = measure_chained(enhance, frame, warmup=20, duration_s=duration, chunk=chunk)
 
-    # Warm-start truth: what a FRESH process pays for frame 1 now that the
-    # persistent cache holds this program (scripts/precompile.py is the
-    # deploy-time seeding step). Skippable for quick runs.
+    # Cold vs warm, detected by effect: the persistent cache writes a new
+    # jit_enhance-<key> entry on every XLA compile (min_compile_time=0), so
+    # a new entry since bench start == this run cold-compiled; no new entry
+    # == the executable came from the cache. (Checking merely whether SOME
+    # jit_enhance-* entry pre-existed is wrong — other enhance programs,
+    # e.g. bench_families' per-family variants, leave entries too.)
+    import glob
+
+    entries = glob.glob(os.path.join(cache_dir, "jit_enhance-*"))
+    wrote_new = any(os.path.getmtime(p) >= bench_start for p in entries)
+    compile_state = (
+        "cold (new cache entry written this run)" if wrote_new
+        else "warm (served from persistent cache)" if entries
+        else "unknown (no cache entries)"
+    )
+
+    # Optional fresh-process warm measurement (scripts/precompile.py is the
+    # deploy-time seeding step). OFF by default: it would run a second TPU
+    # client while this one holds the chip — concurrent TPU processes
+    # pollute both (CLAUDE.md), and the number is lottery-dominated anyway.
     warm_s = None
-    if os.environ.get("BENCH_SKIP_WARM") != "1":
+    if os.environ.get("BENCH_MEASURE_WARM") == "1":
         import re
         import subprocess
 
@@ -128,8 +141,7 @@ def main() -> None:
         "ms_per_frame": round(res.ms_per_call, 3),
         "p50_ms_per_frame": round(res.p50_ms, 3),
         "compile_s": round(res.compile_s, 1),
-        "compile_state": "warm (persistent-cache entry existed)"
-        if had_enhance_entry else "cold (no cache entry)",
+        "compile_state": compile_state,
         "warm_fresh_process_first_call_s": warm_s,
         "iterations": res.iterations,
         "backend": jax.default_backend(),

@@ -54,14 +54,9 @@ def main(argv: Optional[list] = None) -> int:
     )
     from .onnx_runner import verify_onnx_model
 
-    base = args.model_type.partition("_heavy")[0]
-    variant = "heavyweight" if args.model_type.endswith("_heavy") else "lightweight"
-    if args.model_type in ("pix_shuffle", "pix_shuffle_heavy"):
-        m = get_model("pix_shuffle", variant)
-    elif base in ("conv3", "conv5"):
-        m = get_model(base, variant)
-    else:
-        m = get_model(args.model_type)
+    # get_model resolves the reference-style '<name>_heavy' aliases itself
+    m = get_model(args.model_type)
+    base = m.name  # family name without the variant suffix
     params = load_params(args.checkpoint, m.init(jax.random.key(0)))
     print(f"loaded checkpoint {args.checkpoint}")
 

@@ -115,6 +115,15 @@ def load_params(path: str, params_template):
     # restore without a target (raw saved tree), then take the params subtree
     restored = ckptr.restore(os.path.abspath(path))
     params = restored["params"]
+    # BN models (conv3/conv5) are saved split: running stats live in the
+    # 'buffers' subtree (save_checkpoint above). A full-model template (from
+    # m.init) expects them merged back, so fold real buffers in; the
+    # {'__empty__': ...} sentinel marks a buffer-free model.
+    buffers = restored.get("buffers") or {}
+    if buffers and "__empty__" not in buffers:
+        from ..parallel.train_step import merge_bn_buffers
+
+        params = merge_bn_buffers(params, buffers)
     # cast leaves onto the template's dtypes/devices
     import jax.numpy as jnp
 

@@ -168,10 +168,39 @@ def build_pix_shuffle_heavy_artifact() -> None:
     print(name, json.dumps(report), flush=True)
 
 
+# Trained checkpoints from the round-3 TPU runs (CLAUDE.md "Local assets");
+# the builders fall back to fresh-init when absent so the script still runs
+# in a bare environment — but never silently downgrade committed trained
+# artifacts: the report's "weights" field always states which was used.
+TRAINED_CKPTS = {
+    "conv6": "/root/work/train_conv6/checkpoint_best_conv6",
+    "residual_unet": "/root/work/train_unet/checkpoint_best_residual_unet",
+}
+
+
+def _family_params(name, m):
+    """(params, weights_description) — trained checkpoint if available."""
+    import jax
+
+    params = m.init(jax.random.key(0))
+    ck = TRAINED_CKPTS.get(name)
+    if ck and os.path.isdir(ck):
+        from fs_uae_image_enhancer_project_tpu.train.trainer import load_params
+
+        try:
+            return load_params(ck, params), f"trained ({ck})"
+        except Exception as e:  # e.g. TPU-sharded orbax ckpt on a CPU run
+            print(f"WARNING: {name}: trained checkpoint {ck} unrestorable "
+                  f"({type(e).__name__}: {e}); falling back to fresh-init — "
+                  "run this script on the TPU backend to keep the trained "
+                  "artifact", file=sys.stderr)
+    return params, "fresh-init (no trained checkpoint found)"
+
+
 def build_conv6_artifact() -> None:
-    """conv6 deployment artifact (fresh-init — the reference never shipped
-    the module, let alone weights): fp32 graph, verified on a 160x160 crop
-    vs the native jax path."""
+    """conv6 deployment artifact (the reference never shipped the module,
+    let alone weights): fp32 graph from the trained checkpoint when
+    available, verified on a 160x160 crop vs the native jax path."""
     import numpy as np
 
     import jax
@@ -190,7 +219,7 @@ def build_conv6_artifact() -> None:
     out_dir = os.path.join(OUT, f"model_{name}")
     os.makedirs(out_dir, exist_ok=True)
     m = get_model(name)
-    params = m.init(jax.random.key(0))
+    params, weights_src = _family_params(name, m)
     onnx_out = os.path.join(out_dir, f"{name}.onnx")
     export_conv6_onnx(params, m.config, onnx_out, fp16=False)
     render_file(onnx_out)
@@ -208,7 +237,7 @@ def build_conv6_artifact() -> None:
     native = np.asarray(enhance(jnp.asarray(crop)))[0]
     os.remove(verify_out)
     report = {
-        "weights": "fresh-init (reference never shipped the conv6 module)",
+        "weights": weights_src + " — reference never shipped the conv6 module",
         "crop160_psnr_exported_vs_native_db": _psnr(
             graph[..., :3], native[..., :3]
         ),
@@ -243,7 +272,7 @@ def build_residual_unet_artifact() -> None:
     out_dir = os.path.join(OUT, f"model_{name}")
     os.makedirs(out_dir, exist_ok=True)
     m = get_model(name)
-    params = m.init(jax.random.key(0))
+    params, weights_src = _family_params(name, m)
     onnx_out = os.path.join(out_dir, f"{name}.onnx")
     export_residual_unet_onnx(params, m.config, onnx_out, crop_left=16,
                               fp16=False)
@@ -265,7 +294,7 @@ def build_residual_unet_artifact() -> None:
     native = np.asarray(enhance(jnp.asarray(crop)))[0]
     os.remove(verify_out)  # verification intermediate, not a shipped file
     report = {
-        "weights": "fresh-init (the reference has no unet artifacts)",
+        "weights": weights_src + " — the reference has no unet artifacts",
         "crop160_psnr_exported_vs_native_db": _psnr(
             graph[..., :3], native[..., :3]
         ),

@@ -395,3 +395,29 @@ def test_export_softmax_activations_roundtrip(tmp_path):
         compute_dtype=jnp.float32, donate=False)
     y_jax = np.asarray(enh(jnp.asarray(frame)))
     assert _psnr(y_jax[..., :3], y[..., :3]) >= 45.0
+
+
+def test_export_cli_conv3_bn_checkpoint(tmp_path):
+    """Export CLI on a REAL BN-model trainer checkpoint: conv3 saves with
+    running stats split into 'buffers' (save_checkpoint), load_params must
+    merge them back for the full-model template, and fuse() needs them.
+    Regression for the round-3 review finding."""
+    from fs_uae_image_enhancer_project_tpu.export import cli
+    from fs_uae_image_enhancer_project_tpu.models import get_model
+    from fs_uae_image_enhancer_project_tpu.parallel.train_step import (
+        TrainState, init_train_state, make_optimizer,
+    )
+    from fs_uae_image_enhancer_project_tpu.train.trainer import (
+        save_checkpoint,
+    )
+
+    m = get_model("conv3")
+    params = m.init(jax.random.key(2))
+    state = init_train_state(params, make_optimizer(), has_batchnorm=True)
+    ckpt = str(tmp_path / "ck")
+    save_checkpoint(ckpt, state)
+    out = str(tmp_path / "conv3.onnx")
+    rc = cli.main(["--checkpoint", ckpt, "--model_type", "conv3",
+                   "--output", out, "--fp32"])
+    assert rc == 0
+    assert os.path.getsize(out) > 50_000
