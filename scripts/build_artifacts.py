@@ -110,8 +110,9 @@ def build_conv_stack_artifacts() -> None:
 
 def build_pix_shuffle_heavy_artifact() -> None:
     """Heavyweight pix_shuffle: no shipped reference weights exist, so this
-    ships a fresh-init export for deployment-contract coverage, verified by
-    round-tripping the exported graph against the native jax path."""
+    ships this framework's trained weights when available (fresh-init
+    fallback), verified by round-tripping the exported graph against the
+    native jax path."""
     import numpy as np
 
     import jax
@@ -130,7 +131,7 @@ def build_pix_shuffle_heavy_artifact() -> None:
     out_dir = os.path.join(OUT, f"model_{name}")
     os.makedirs(out_dir, exist_ok=True)
     m = get_model("pix_shuffle", "heavyweight")
-    params = m.init(jax.random.key(0))
+    params, weights_src = _family_params(name, m)
 
     enhance = make_enhance_fn(
         m.apply, params, crop_left=16, compute_dtype=jnp.float32,
@@ -145,7 +146,7 @@ def build_pix_shuffle_heavy_artifact() -> None:
     # >=64 dB family bar. The fp16 variant is kept alongside (deployment
     # size parity with the reference's shipped fp16 artifacts) with its
     # measured figure in the report.
-    report = {"weights": "fresh-init (no shipped reference heavy weights)"}
+    report = {"weights": weights_src + " — no shipped reference heavy weights"}
     for fp16, fname, key in (
         (False, f"{name}.onnx", "random_frame_psnr_exported_vs_native_db"),
         (True, f"{name}_fp16.onnx",
@@ -175,6 +176,8 @@ def build_pix_shuffle_heavy_artifact() -> None:
 TRAINED_CKPTS = {
     "conv6": "/root/work/train_conv6/checkpoint_best_conv6",
     "residual_unet": "/root/work/train_unet/checkpoint_best_residual_unet",
+    # trainer names the file by family (without the variant suffix)
+    "pix_shuffle_heavy": "/root/work/train_psh/checkpoint_best_pix_shuffle",
 }
 
 
