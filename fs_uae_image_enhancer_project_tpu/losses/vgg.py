@@ -51,10 +51,14 @@ TAP_WEIGHTS = (1.0 / 2.6, 1.0 / 4.8, 1.0 / 3.7, 1.0 / 5.6)
 VGG_MEAN = (0.48235, 0.45882, 0.40784)
 VGG_STD = 1.0 / 255.0
 
-_ASSET = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    "..", "assets", "vgg16_features.npz",
+_ASSET_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "..", "assets"
 )
+_ASSET = os.path.join(_ASSET_DIR, "vgg16_features.npz")
+# In-domain self-trained fallback (losses/vgg_selftrain.py): same keys, same
+# topology, trained on this environment's corpus. Used when the torchvision
+# conversion is absent.
+_ASSET_SELFTRAINED = os.path.join(_ASSET_DIR, "vgg16_features_selftrained.npz")
 
 Params = List[Dict[str, jnp.ndarray]]
 
@@ -63,28 +67,44 @@ def conv_indices() -> List[int]:
     return [i for i, kind, _ in VGG16_LAYOUT if kind == "conv"]
 
 
+def _load_asset(path: str) -> Params:
+    data = np.load(path)
+    params: Params = []
+    for i in conv_indices():
+        params.append(
+            {"w": jnp.asarray(data[f"features.{i}.weight"]),
+             "b": jnp.asarray(data[f"features.{i}.bias"])}
+        )
+    return params
+
+
 def init_vgg16(key: jax.Array | None = None) -> Params:
-    """Load pretrained weights if the asset exists, else fixed-seed He init."""
+    """Load feature weights by preference order: torchvision-converted
+    pretrained asset > in-domain self-trained asset (losses/vgg_selftrain.py)
+    > fixed-seed He init (with a loud warning)."""
     path = os.path.abspath(_ASSET)
     if os.path.exists(path):
-        data = np.load(path)
-        params: Params = []
-        for i in conv_indices():
-            params.append(
-                {"w": jnp.asarray(data[f"features.{i}.weight"]),
-                 "b": jnp.asarray(data[f"features.{i}.bias"])}
-            )
-        return params
+        return _load_asset(path)
+    self_path = os.path.abspath(_ASSET_SELFTRAINED)
+    if os.path.exists(self_path):
+        return _load_asset(self_path)
     import warnings
 
     warnings.warn(
-        f"vgg16 asset not found at {path}: the perceptual loss is using "
-        "FIXED-SEED RANDOM VGG features (random-projection loss), not "
-        "pretrained VGG16. Loss values are not comparable to the "
-        "reference's CSVs. See assets/README.md for the one-time "
-        "torchvision conversion.",
+        f"no vgg16 asset at {path} (pretrained) or {self_path} "
+        "(self-trained): the perceptual loss is using FIXED-SEED RANDOM VGG "
+        "features (random-projection loss), not pretrained VGG16. Loss "
+        "values are not comparable to the reference's CSVs. See "
+        "assets/README.md for the one-time torchvision conversion, or run "
+        "scripts/train_vgg_features.py to self-train in-domain features.",
         stacklevel=2,
     )
+    return _random_init(key)
+
+
+def _random_init(key: jax.Array | None = None) -> Params:
+    """The fixed-seed He-normal fallback (a structured random-projection
+    perceptual metric — quantified in artifacts/training_parity)."""
     if key is None:
         key = jax.random.key(1234)
     params = []

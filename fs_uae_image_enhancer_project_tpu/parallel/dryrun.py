@@ -1,5 +1,6 @@
-"""Multi-chip dry run: compile and execute one FULL training step on an
-n-device mesh with real (dp, sp) shardings, on tiny shapes.
+"""Multi-chip dry run: compile and execute one FULL training step AND one
+sharded-serving batch on an n-device mesh with real (dp, sp) shardings, on
+tiny shapes.
 
 Used by __graft_entry__.dryrun_multichip (the driver runs it with N virtual
 CPU devices) and by tests/test_parallel.py on the 8-device CPU mesh.
@@ -69,9 +70,35 @@ def run_dryrun(
     loss_val = float(loss)
     if verbose:
         print(
-            f"dryrun ok: mesh dp={dp} sp={sp}, loss={loss_val:.5f}, "
+            f"dryrun train ok: mesh dp={dp} sp={sp}, loss={loss_val:.5f}, "
             f"step={int(new_state.step)}"
         )
     if not np.isfinite(loss_val):
         raise RuntimeError(f"dryrun produced non-finite loss: {loss_val}")
+
+    # --- serving leg: dp-sharded batch inference on the SAME mesh ---------
+    # (VERDICT r3 item 8: the driver-visible dryrun must cover serving too.)
+    # Uses the deployed uint8-RGBA enhance contract over the just-trained
+    # params, batch sharded over dp via parallel.inference.
+    from ..export.enhance import make_enhance_fn
+    from .inference import make_sharded_enhance
+
+    params_host = jax.device_get(new_state.params)
+    enhance = make_enhance_fn(
+        m.apply, params_host, crop_left=0, donate=False, jit=False
+    )
+    sharded, put = make_sharded_enhance(enhance, mesh=make_mesh(n_devices, sp=1))
+    frames = np.asarray(
+        rng.integers(0, 256, (n_devices, 32, 48, 4)), np.uint8
+    )
+    out = np.asarray(sharded(put(frames)))
+    if out.shape != frames.shape or out.dtype != np.uint8:
+        raise RuntimeError(
+            f"serving dryrun bad output: {out.shape} {out.dtype}"
+        )
+    if verbose:
+        print(
+            f"dryrun serve ok: dp={n_devices} sharded batch "
+            f"{frames.shape} -> {out.shape} {out.dtype}"
+        )
     return loss_val
