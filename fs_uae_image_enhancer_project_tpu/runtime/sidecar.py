@@ -1,0 +1,284 @@
+"""Emulator-facing enhance sidecar: a resident unix-socket frame server.
+
+The reference's L6 consumer is a patched FS-UAE that feeds its 752x576 RGBA
+framebuffer through ONNX Runtime in-process (reference README.md:21-27).
+The jitted-JAX enhance path cannot be dlopen'd into a C emulator, so the
+TPU-native deployable is a *sidecar*: one resident process owns the compiled
+TPU program (paying the compile once) and serves raw frames over a unix
+domain socket — the emulator links only a ~100-line C client
+(runtime/sidecar_client.cc).
+
+Wire protocol v1 (fixed-geometry raw frames; all integers little-endian):
+
+    server -> client on connect (16-byte handshake):
+        magic   4s  b"FSE1"
+        version u8  1
+        depth   u8  pipeline depth D (0 = synchronous request/response)
+        height  u16
+        width   u16
+        chans   u8  always 4 (RGBA chunky)
+        pad     5s
+
+    client -> server, repeated:
+        0x01 + H*W*4 raw bytes   submit one frame
+        0x02                     drain: flush all in-flight frames
+        0x03                     shutdown the server process
+
+    server -> client:
+        0x81 + H*W*4 raw bytes   one enhanced frame
+        0x82                     drain complete
+
+Pipelining: with depth D > 0 the server responds to the i-th submitted frame
+with enhanced frame i-D (jax dispatch is asynchronous, so upload of frame i,
+compute of i-1..i-D+1 and readback of i-D all overlap — export/streaming.py
+semantics over a process boundary). The first D submits produce no response;
+a drain returns the tail. D = 0 disables pipelining: every submit gets its
+enhanced frame immediately (one-frame latency mode for emulators that cannot
+tolerate display lag).
+
+One client at a time: real-time enhancement is a single-emulator, batch-1
+workload (docs/PERF.md "Batching is NOT a throughput lever"); serving several
+emulator instances means several sockets time-slicing one chip.
+"""
+from __future__ import annotations
+
+import os
+import socket
+import struct
+import sys
+from typing import Callable, Optional
+
+import numpy as np
+
+MAGIC = b"FSE1"
+VERSION = 1
+HANDSHAKE = struct.Struct("<4sBBHHB5s")
+OP_FRAME = 0x01
+OP_DRAIN = 0x02
+OP_SHUTDOWN = 0x03
+RE_FRAME = 0x81
+RE_DRAIN_DONE = 0x82
+
+
+def _recv_exact(conn: socket.socket, n: int) -> Optional[bytes]:
+    buf = bytearray()
+    while len(buf) < n:
+        chunk = conn.recv(n - len(buf))
+        if not chunk:
+            return None
+        buf.extend(chunk)
+    return bytes(buf)
+
+
+class SidecarServer:
+    """Owns the jitted enhance fn and serves frames until shutdown."""
+
+    def __init__(
+        self,
+        enhance_fn: Callable,
+        socket_path: str,
+        *,
+        height: int = 576,
+        width: int = 752,
+        depth: int = 2,
+        verbose: int = 1,
+    ):
+        if depth < 0:
+            raise ValueError("depth must be >= 0")
+        self.fn = enhance_fn
+        self.socket_path = socket_path
+        self.h, self.w = height, width
+        self.depth = depth
+        self.frame_bytes = height * width * 4
+        self.verbose = verbose
+        self._sock: Optional[socket.socket] = None
+
+    def _log(self, msg: str) -> None:
+        if self.verbose:
+            print(f"[sidecar] {msg}", flush=True)
+
+    def warmup(self) -> None:
+        """Compile + first-execution cost up front, not on frame 1."""
+        import jax
+
+        frame = np.zeros((1, self.h, self.w, 4), np.uint8)
+        out = self.fn(jax.numpy.asarray(frame))
+        np.asarray(out)
+        self._log("warmup complete (program compiled and executed)")
+
+    def bind(self) -> None:
+        if os.path.exists(self.socket_path):
+            os.unlink(self.socket_path)
+        self._sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        self._sock.bind(self.socket_path)
+        self._sock.listen(1)
+        self._log(f"listening on {self.socket_path} "
+                  f"({self.w}x{self.h}, depth {self.depth})")
+
+    def serve_forever(self) -> None:
+        """Accept loop; returns after an OP_SHUTDOWN."""
+        if self._sock is None:
+            self.bind()
+        try:
+            while True:
+                conn, _ = self._sock.accept()
+                try:
+                    if not self._serve_client(conn):
+                        return
+                finally:
+                    conn.close()
+        finally:
+            self._sock.close()
+            self._sock = None
+            if os.path.exists(self.socket_path):
+                os.unlink(self.socket_path)
+
+    def _serve_client(self, conn: socket.socket) -> bool:
+        """One client session; False means shutdown was requested."""
+        import jax.numpy as jnp
+
+        conn.sendall(HANDSHAKE.pack(
+            MAGIC, VERSION, self.depth, self.h, self.w, 4, b"\0" * 5
+        ))
+        self._log("client connected")
+        from ..export.streaming import FrameStream
+
+        stream = FrameStream(self.fn, depth=max(self.depth, 1))
+        n_in = n_out = 0
+        while True:
+            op = _recv_exact(conn, 1)
+            if op is None:
+                break
+            if op[0] == OP_FRAME:
+                payload = _recv_exact(conn, self.frame_bytes)
+                if payload is None:
+                    break
+                frame = np.frombuffer(payload, np.uint8).reshape(
+                    1, self.h, self.w, 4
+                )
+                n_in += 1
+                if self.depth == 0:
+                    out = np.asarray(self.fn(jnp.asarray(frame)))
+                    conn.sendall(bytes([RE_FRAME]) + out.tobytes())
+                    n_out += 1
+                else:
+                    out = stream.submit(frame)
+                    if out is not None:
+                        conn.sendall(bytes([RE_FRAME]) + out.tobytes())
+                        n_out += 1
+            elif op[0] == OP_DRAIN:
+                for out in stream.drain():
+                    conn.sendall(bytes([RE_FRAME]) + out.tobytes())
+                    n_out += 1
+                conn.sendall(bytes([RE_DRAIN_DONE]))
+            elif op[0] == OP_SHUTDOWN:
+                self._log(f"shutdown requested ({n_in} in / {n_out} out)")
+                return False
+            else:
+                self._log(f"bad opcode 0x{op[0]:02x}; closing client")
+                break
+        self._log(f"client disconnected ({n_in} in / {n_out} out)")
+        return True
+
+
+class SidecarClient:
+    """Python client (replay/testing; emulators use sidecar_client.cc)."""
+
+    def __init__(self, socket_path: str):
+        self.sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        self.sock.connect(socket_path)
+        hs = _recv_exact(self.sock, HANDSHAKE.size)
+        magic, ver, depth, h, w, ch, _pad = HANDSHAKE.unpack(hs)
+        if magic != MAGIC or ver != VERSION or ch != 4:
+            raise RuntimeError(f"bad handshake: {magic} v{ver} ch{ch}")
+        self.depth, self.h, self.w = depth, h, w
+        self.frame_bytes = h * w * 4
+
+    def _read_frame(self) -> np.ndarray:
+        tag = _recv_exact(self.sock, 1)
+        if tag is None or tag[0] != RE_FRAME:
+            raise RuntimeError(f"expected frame response, got {tag}")
+        payload = _recv_exact(self.sock, self.frame_bytes)
+        return np.frombuffer(payload, np.uint8).reshape(self.h, self.w, 4)
+
+    def submit(self, frame: np.ndarray) -> Optional[np.ndarray]:
+        """Send one frame; returns an enhanced frame (delayed by `depth`
+        during pipelined operation, immediate when depth == 0)."""
+        frame = np.ascontiguousarray(frame, np.uint8)
+        if frame.shape != (self.h, self.w, 4):
+            raise ValueError(f"frame must be {(self.h, self.w, 4)}, "
+                             f"got {frame.shape}")
+        self.sock.sendall(bytes([OP_FRAME]) + frame.tobytes())
+        self._pending = getattr(self, "_pending", 0) + 1
+        if self.depth == 0 or self._pending > self.depth:
+            self._pending -= 1
+            return self._read_frame()
+        return None
+
+    def drain(self):
+        """Flush in-flight frames; yields them."""
+        self.sock.sendall(bytes([OP_DRAIN]))
+        while True:
+            tag = _recv_exact(self.sock, 1)
+            if tag is None or tag[0] == RE_DRAIN_DONE:
+                return
+            payload = _recv_exact(self.sock, self.frame_bytes)
+            self._pending = max(getattr(self, "_pending", 1) - 1, 0)
+            yield np.frombuffer(payload, np.uint8).reshape(self.h, self.w, 4)
+
+    def shutdown_server(self) -> None:
+        self.sock.sendall(bytes([OP_SHUTDOWN]))
+
+    def close(self) -> None:
+        self.sock.close()
+
+
+def build_enhance_fn(model: str = "pix_shuffle", weights: Optional[str] = None):
+    """Resolve the enhance fn the way bench.py does: shipped reference ONNX
+    graph when present (the parity truth), else fresh-weights default."""
+    from ..export.enhance import default_enhance_fn, enhance_from_onnx
+
+    if weights is None:
+        ref = f"/root/reference/model/model_{model}/{model}.onnx"
+        if os.path.exists(ref):
+            weights = ref
+    if weights and weights.endswith(".onnx"):
+        return enhance_from_onnx(weights, donate=False)
+    fn, _ = default_enhance_fn(donate=False)
+    return fn
+
+
+def main(argv=None) -> int:
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        description="Resident TPU enhance sidecar for emulator integration."
+    )
+    ap.add_argument("--socket", default="/tmp/fsuae_enhance.sock")
+    ap.add_argument("--model", default="pix_shuffle")
+    ap.add_argument("--weights", default=None,
+                    help="ONNX graph to serve (default: reference shipped)")
+    ap.add_argument("--depth", type=int, default=2,
+                    help="pipeline depth; 0 = synchronous")
+    ap.add_argument("--height", type=int, default=576)
+    ap.add_argument("--width", type=int, default=752)
+    ap.add_argument("--quiet", action="store_true")
+    args = ap.parse_args(argv)
+
+    from ..utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+    fn = build_enhance_fn(args.model, args.weights)
+    server = SidecarServer(
+        fn, args.socket, height=args.height, width=args.width,
+        depth=args.depth, verbose=0 if args.quiet else 1,
+    )
+    server.warmup()
+    server.bind()
+    print(f"SIDECAR_READY {args.socket}", flush=True)
+    server.serve_forever()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,188 @@
+/* Minimal C client for the enhance sidecar — the surface an FS-UAE fork
+ * links against instead of ONNX Runtime (reference README.md:21-27 is the
+ * in-process ONNX consumer; the TPU path runs out-of-process, see
+ * fs_uae_image_enhancer_project_tpu/runtime/sidecar.py for the protocol).
+ *
+ * Library API (no dependencies beyond libc):
+ *     fse_client *c = fse_connect("/tmp/fsuae_enhance.sock");
+ *     // per emulator frame (RGBA chunky, c->height x c->width):
+ *     const uint8_t *out = fse_enhance(c, framebuffer);
+ *     // out is NULL during pipeline warmup (first c->depth frames);
+ *     // show the raw frame those times.
+ *     fse_close(c);
+ *
+ * Build as the replay tool:  make sidecar_replay   (runtime/Makefile)
+ *     ./build/sidecar_replay <socket> <raw_in> <raw_out> [loops]
+ */
+#define _POSIX_C_SOURCE 200809L
+#include <stdint.h>
+#include <stdio.h>
+#include <stdlib.h>
+#include <string.h>
+#include <sys/socket.h>
+#include <sys/un.h>
+#include <time.h>
+#include <unistd.h>
+
+#define FSE_OP_FRAME 0x01
+#define FSE_OP_DRAIN 0x02
+#define FSE_OP_SHUTDOWN 0x03
+#define FSE_RE_FRAME 0x81
+#define FSE_RE_DRAIN_DONE 0x82
+
+typedef struct {
+    int fd;
+    uint16_t height, width;
+    uint8_t depth;
+    size_t frame_bytes;
+    size_t pending;
+    uint8_t *recv_buf;
+} fse_client;
+
+static int read_exact(int fd, void *buf, size_t n) {
+    uint8_t *p = (uint8_t *)buf;
+    while (n > 0) {
+        ssize_t r = read(fd, p, n);
+        if (r <= 0) return -1;
+        p += r;
+        n -= (size_t)r;
+    }
+    return 0;
+}
+
+static int write_exact(int fd, const void *buf, size_t n) {
+    const uint8_t *p = (const uint8_t *)buf;
+    while (n > 0) {
+        ssize_t r = write(fd, p, n);
+        if (r <= 0) return -1;
+        p += r;
+        n -= (size_t)r;
+    }
+    return 0;
+}
+
+fse_client *fse_connect(const char *socket_path) {
+    int fd = socket(AF_UNIX, SOCK_STREAM, 0);
+    if (fd < 0) return NULL;
+    struct sockaddr_un addr;
+    memset(&addr, 0, sizeof(addr));
+    addr.sun_family = AF_UNIX;
+    strncpy(addr.sun_path, socket_path, sizeof(addr.sun_path) - 1);
+    if (connect(fd, (struct sockaddr *)&addr, sizeof(addr)) != 0) {
+        close(fd);
+        return NULL;
+    }
+    uint8_t hs[16];
+    if (read_exact(fd, hs, sizeof(hs)) != 0 || memcmp(hs, "FSE1", 4) != 0 ||
+        hs[4] != 1 /* version */ || hs[10] != 4 /* channels */) {
+        close(fd);
+        return NULL;
+    }
+    fse_client *c = (fse_client *)calloc(1, sizeof(fse_client));
+    c->fd = fd;
+    c->depth = hs[5];
+    c->height = (uint16_t)(hs[6] | (hs[7] << 8));
+    c->width = (uint16_t)(hs[8] | (hs[9] << 8));
+    c->frame_bytes = (size_t)c->height * c->width * 4;
+    c->recv_buf = (uint8_t *)malloc(c->frame_bytes);
+    return c;
+}
+
+static const uint8_t *fse_read_frame(fse_client *c) {
+    uint8_t tag;
+    if (read_exact(c->fd, &tag, 1) != 0 || tag != FSE_RE_FRAME) return NULL;
+    if (read_exact(c->fd, c->recv_buf, c->frame_bytes) != 0) return NULL;
+    return c->recv_buf;
+}
+
+/* Submit one RGBA frame; returns the enhanced frame (delayed by `depth`
+ * frames when pipelined), or NULL during warmup. The returned pointer is
+ * valid until the next fse_* call. */
+const uint8_t *fse_enhance(fse_client *c, const uint8_t *frame) {
+    uint8_t op = FSE_OP_FRAME;
+    if (write_exact(c->fd, &op, 1) != 0) return NULL;
+    if (write_exact(c->fd, frame, c->frame_bytes) != 0) return NULL;
+    c->pending++;
+    if (c->depth == 0 || c->pending > c->depth) {
+        c->pending--;
+        return fse_read_frame(c);
+    }
+    return NULL;
+}
+
+/* Flush in-flight frames; cb is called once per drained frame (may be NULL). */
+int fse_drain(fse_client *c, void (*cb)(const uint8_t *, void *), void *ud) {
+    uint8_t op = FSE_OP_DRAIN;
+    if (write_exact(c->fd, &op, 1) != 0) return -1;
+    for (;;) {
+        uint8_t tag;
+        if (read_exact(c->fd, &tag, 1) != 0) return -1;
+        if (tag == FSE_RE_DRAIN_DONE) return 0;
+        if (tag != FSE_RE_FRAME) return -1;
+        if (read_exact(c->fd, c->recv_buf, c->frame_bytes) != 0) return -1;
+        if (c->pending) c->pending--;
+        if (cb) cb(c->recv_buf, ud);
+    }
+}
+
+void fse_shutdown_server(fse_client *c) {
+    uint8_t op = FSE_OP_SHUTDOWN;
+    write_exact(c->fd, &op, 1);
+}
+
+void fse_close(fse_client *c) {
+    if (!c) return;
+    close(c->fd);
+    free(c->recv_buf);
+    free(c);
+}
+
+#ifdef FSE_REPLAY_MAIN
+/* Replay tool: send one raw RGBA capture through the sidecar `loops` times,
+ * write the last enhanced frame, print latency stats. */
+int main(int argc, char **argv) {
+    if (argc < 4) {
+        fprintf(stderr,
+                "usage: %s <socket> <raw_in> <raw_out> [loops]\n", argv[0]);
+        return 2;
+    }
+    int loops = argc > 4 ? atoi(argv[4]) : 1;
+    fse_client *c = fse_connect(argv[1]);
+    if (!c) {
+        fprintf(stderr, "connect failed: %s\n", argv[1]);
+        return 1;
+    }
+    uint8_t *in = (uint8_t *)malloc(c->frame_bytes);
+    uint8_t *last = (uint8_t *)malloc(c->frame_bytes);
+    FILE *f = fopen(argv[2], "rb");
+    if (!f || fread(in, 1, c->frame_bytes, f) != c->frame_bytes) {
+        fprintf(stderr, "raw_in must be %zu bytes (%ux%u RGBA)\n",
+                c->frame_bytes, c->width, c->height);
+        return 1;
+    }
+    fclose(f);
+
+    struct timespec t0, t1;
+    clock_gettime(CLOCK_MONOTONIC, &t0);
+    int got = 0;
+    for (int i = 0; i < loops; i++) {
+        const uint8_t *out = fse_enhance(c, in);
+        if (out) {
+            memcpy(last, out, c->frame_bytes);
+            got++;
+        }
+    }
+    fse_drain(c, NULL, NULL);
+    clock_gettime(CLOCK_MONOTONIC, &t1);
+    double ms = (t1.tv_sec - t0.tv_sec) * 1e3 + (t1.tv_nsec - t0.tv_nsec) / 1e6;
+    printf("{\"frames\": %d, \"ms_per_frame\": %.3f, \"fps\": %.1f, "
+           "\"depth\": %d}\n",
+           loops, ms / loops, loops * 1e3 / ms, c->depth);
+
+    f = fopen(argv[3], "wb");
+    fwrite(got ? last : in, 1, c->frame_bytes, f);
+    fclose(f);
+    fse_close(c);
+    return 0;
+}
+#endif
