@@ -108,11 +108,44 @@ def build_conv_stack_artifacts() -> None:
         print(name, json.dumps(report), flush=True)
 
 
+def _verify_8_samples(name, out_dir, graph, enhance, report):
+    """Unified full-frame parity evidence (one schema for ALL families —
+    the reference's own evidence bar is 8 predicted frames per model,
+    model_*/predicted/): for each committed Amiga sample, run the exported
+    graph through the numpy ONNX runner and the native jax path, record
+    per-sample exported-vs-native PSNR + min, and ship the native frames
+    as predicted/."""
+    import numpy as np
+    from PIL import Image
+
+    import jax.numpy as jnp
+
+    from fs_uae_image_enhancer_project_tpu.export.onnx_runner import run_model
+
+    os.makedirs(os.path.join(out_dir, "predicted"), exist_ok=True)
+    keys = []
+    for i in range(8):
+        frame = np.asarray(Image.open(f"{REF}/samples/sample{i}.png"))
+        native = np.asarray(enhance(jnp.asarray(frame[None])))[0]
+        Image.fromarray(native, mode="RGBA").save(
+            os.path.join(out_dir, "predicted", f"sample{i}.png")
+        )
+        g = run_model(graph, {"input_rgba_chunky": frame[None]})[
+            "output_rgba_uint8_chunky"
+        ][0]
+        key = f"sample{i}_psnr_exported_vs_native_db"
+        report[key] = _psnr(g[..., :3], native[..., :3])
+        keys.append(key)
+        print(f"  {name} sample{i}: {report[key]} dB", flush=True)
+    report["min_psnr_db"] = min(report[k] for k in keys)
+    return report
+
+
 def build_pix_shuffle_heavy_artifact() -> None:
     """Heavyweight pix_shuffle: no shipped reference weights exist, so this
     ships this framework's trained weights when available (fresh-init
     fallback), verified by round-tripping the exported graph against the
-    native jax path."""
+    native jax path on the 8 committed sample frames."""
     import numpy as np
 
     import jax
@@ -137,9 +170,6 @@ def build_pix_shuffle_heavy_artifact() -> None:
         m.apply, params, crop_left=16, compute_dtype=jnp.float32,
         donate=False,
     )
-    rng = np.random.default_rng(0)
-    frame = rng.integers(0, 256, (1, 576, 752, 4), dtype=np.uint8)
-    native = np.asarray(enhance(jnp.asarray(frame)))[0]
 
     # Primary artifact is fp32: the fp16 weight rounding alone capped the
     # exported-vs-native round trip at 59.9 dB (round-2 report), below the
@@ -147,19 +177,24 @@ def build_pix_shuffle_heavy_artifact() -> None:
     # size parity with the reference's shipped fp16 artifacts) with its
     # measured figure in the report.
     report = {"weights": weights_src + " — no shipped reference heavy weights"}
-    for fp16, fname, key in (
-        (False, f"{name}.onnx", "random_frame_psnr_exported_vs_native_db"),
-        (True, f"{name}_fp16.onnx",
-         "random_frame_psnr_exported_fp16_vs_native_db"),
-    ):
-        onnx_out = os.path.join(out_dir, fname)
-        export_pix_shuffle_onnx(params, m.config, onnx_out, crop_left=16,
-                                fp16=fp16)
-        graph = run_model(load_model(onnx_out), {"input_rgba_chunky": frame})[
-            "output_rgba_uint8_chunky"
-        ][0]
-        report[key] = _psnr(graph[..., :3], native[..., :3])
-    render_file(os.path.join(out_dir, f"{name}.onnx"))
+    onnx_out = os.path.join(out_dir, f"{name}.onnx")
+    export_pix_shuffle_onnx(params, m.config, onnx_out, crop_left=16,
+                            fp16=False)
+    render_file(onnx_out)
+    _verify_8_samples(name, out_dir, load_model(onnx_out), enhance, report)
+
+    fp16_out = os.path.join(out_dir, f"{name}_fp16.onnx")
+    export_pix_shuffle_onnx(params, m.config, fp16_out, crop_left=16,
+                            fp16=True)
+    rng = np.random.default_rng(0)
+    frame = rng.integers(0, 256, (1, 576, 752, 4), dtype=np.uint8)
+    native = np.asarray(enhance(jnp.asarray(frame)))[0]
+    g16 = run_model(load_model(fp16_out), {"input_rgba_chunky": frame})[
+        "output_rgba_uint8_chunky"
+    ][0]
+    report["random_frame_psnr_exported_fp16_vs_native_db"] = _psnr(
+        g16[..., :3], native[..., :3]
+    )
     report["note"] = (
         "primary graph carries fp32 weights; the fp16 variant's lower "
         "figure is the fp16 weight-rounding floor, not an export defect"
@@ -213,7 +248,6 @@ def build_conv6_artifact() -> None:
     from fs_uae_image_enhancer_project_tpu.export.onnx_export import (
         export_conv6_onnx,
     )
-    from fs_uae_image_enhancer_project_tpu.export.onnx_runner import run_graph
     from fs_uae_image_enhancer_project_tpu.export.onnx_proto import load_model
     from fs_uae_image_enhancer_project_tpu.export.onnx_svg import render_file
     from fs_uae_image_enhancer_project_tpu.models import get_model
@@ -227,24 +261,12 @@ def build_conv6_artifact() -> None:
     export_conv6_onnx(params, m.config, onnx_out, fp16=False)
     render_file(onnx_out)
 
-    S = 160
-    verify_out = os.path.join(out_dir, f"{name}_verify_160.onnx")
-    export_conv6_onnx(params, m.config, verify_out, fp16=False,
-                      frame_h=S, frame_w=S)
-    rng = np.random.default_rng(0)
-    crop = rng.integers(0, 256, (1, S, S, 4), dtype=np.uint8)
-    graph = run_graph(load_model(verify_out).graph,
-                      {"input_rgba_chunky": crop})["output_rgba_uint8_chunky"][0]
     enhance = make_enhance_fn(m.apply, params, crop_left=0,
                               compute_dtype=jnp.float32, donate=False)
-    native = np.asarray(enhance(jnp.asarray(crop)))[0]
-    os.remove(verify_out)
     report = {
         "weights": weights_src + " — reference never shipped the conv6 module",
-        "crop160_psnr_exported_vs_native_db": _psnr(
-            graph[..., :3], native[..., :3]
-        ),
     }
+    _verify_8_samples(name, out_dir, load_model(onnx_out), enhance, report)
     with open(os.path.join(out_dir, "parity_report.json"), "w") as f:
         json.dump(report, f, indent=1)
     print(name, json.dumps(report), flush=True)
@@ -266,7 +288,6 @@ def build_residual_unet_artifact() -> None:
     from fs_uae_image_enhancer_project_tpu.export.onnx_export import (
         export_residual_unet_onnx,
     )
-    from fs_uae_image_enhancer_project_tpu.export.onnx_runner import run_graph
     from fs_uae_image_enhancer_project_tpu.export.onnx_proto import load_model
     from fs_uae_image_enhancer_project_tpu.export.onnx_svg import render_file
     from fs_uae_image_enhancer_project_tpu.models import get_model
@@ -281,27 +302,14 @@ def build_residual_unet_artifact() -> None:
                               fp16=False)
     render_file(onnx_out)
 
-    # verification graph at crop size (same weights, no crop/pad wrapper)
-    S = 160
-    verify_out = os.path.join(out_dir, f"{name}_verify_160.onnx")
-    export_residual_unet_onnx(params, m.config, verify_out, crop_left=0,
-                              fp16=False, frame_h=S, frame_w=S)
-    rng = np.random.default_rng(0)
-    crop = rng.integers(0, 256, (1, S, S, 4), dtype=np.uint8)
-    graph = run_graph(load_model(verify_out).graph,
-                      {"input_rgba_chunky": crop})["output_rgba_uint8_chunky"][0]
     enhance = make_enhance_fn(
-        lambda p, x: m.apply(p, x), params, crop_left=0,
+        lambda p, x: m.apply(p, x), params, crop_left=16,
         compute_dtype=jnp.float32, donate=False,
     )
-    native = np.asarray(enhance(jnp.asarray(crop)))[0]
-    os.remove(verify_out)  # verification intermediate, not a shipped file
     report = {
         "weights": weights_src + " — the reference has no unet artifacts",
-        "crop160_psnr_exported_vs_native_db": _psnr(
-            graph[..., :3], native[..., :3]
-        ),
     }
+    _verify_8_samples(name, out_dir, load_model(onnx_out), enhance, report)
     with open(os.path.join(out_dir, "parity_report.json"), "w") as f:
         json.dump(report, f, indent=1)
     print(name, json.dumps(report), flush=True)

@@ -48,7 +48,7 @@ def main() -> int:
     ap.add_argument("--accumulation_steps", type=int, default=4)
     ap.add_argument("--lr", type=float, default=0.000544)  # train_pix_shuffle.sh
     ap.add_argument("--skip", nargs="*", default=[],
-                    choices=["ablation", "plateau"])
+                    choices=["ablation", "plateau", "selfvgg"])
     args = ap.parse_args()
 
     from fs_uae_image_enhancer_project_tpu.utils.compile_cache import (
@@ -96,7 +96,7 @@ def main() -> int:
 
     base = get_model("pix_shuffle")
 
-    def run(tag, model, epochs):
+    def run(tag, model, epochs, vgg_params=None):
         ckpt_dir = os.path.join(OUT, tag)
         cfg = TrainerConfig(
             num_epochs=epochs, lr=args.lr, batch_size=args.batch_size,
@@ -108,59 +108,74 @@ def main() -> int:
             verbose=1,
         )
         tr, va = make_ds()
-        best_val, best_epoch, _ = Trainer(model, cfg).train(tr, va)
+        best_val, best_epoch, _ = Trainer(model, cfg, vgg_params).train(tr, va)
         print(f"[{tag}] best val {best_val:.5f} @ epoch {best_epoch}", flush=True)
         return ckpt_dir, best_val, best_epoch
 
+    # shared cross-evaluation: every run is scored under the SAME vgg-free
+    # criterion + sRGB PSNR so rows are comparable regardless of which VGG
+    # features (none / random / self-trained) trained them
+    novgg_criterion = build_criterion(
+        dataclasses.replace(base.loss, vgg_weight=0.0)
+    )
+
+    def evaluate(ckpt_dir):
+        params = load_params(
+            os.path.join(ckpt_dir, "checkpoint_best_pix_shuffle"),
+            base.init(jax.random.key(0)),
+        )
+
+        from fs_uae_image_enhancer_project_tpu.data.dataset import (
+            batch_transform,
+        )
+
+        to_float = batch_transform(base.linear_io)
+
+        @jax.jit
+        def eval_step(p, lr_b, hr_b):
+            lr_b, hr_b = to_float(lr_b), to_float(hr_b)
+            y = base.apply(p, lr_b.astype(jnp.bfloat16)).astype(jnp.float32)
+            loss = novgg_criterion(y, hr_b)
+            # PSNR in the sRGB domain (linear io -> gamma for display)
+            ys = jnp.clip(y, 0, None) ** (1 / 2.2)
+            ts = jnp.clip(hr_b, 0, None) ** (1 / 2.2)
+            mse = jnp.mean((ys - ts) ** 2)
+            return loss, mse
+
+        _, va = make_ds()
+        losses, mses = [], []
+        for lr_b, hr_b in iter(va):
+            l, e = eval_step(params, jnp.asarray(lr_b), jnp.asarray(hr_b))
+            losses.append(float(l))
+            mses.append(float(e))
+        mse = float(np.mean(mses))
+        return {
+            "novgg_val_loss": float(np.mean(losses)),
+            "srgb_psnr_db": float(10 * np.log10(1.0 / mse)) if mse > 0 else 99.0,
+        }
+
     summary = {}
+    summary_path = os.path.join(OUT, "eval_summary.json")
+    if os.path.exists(summary_path):
+        with open(summary_path) as f:
+            summary = json.load(f)
+
+    def write_summary():
+        with open(summary_path, "w") as f:
+            json.dump(summary, f, indent=1)
 
     if "ablation" not in args.skip:
-        # (a) same-seed ablation: vgg off vs random-VGG on
+        # (a) same-seed ablation: vgg off vs random-VGG on. The random leg
+        # pins _random_init explicitly — init_vgg16's default would silently
+        # pick up the self-trained asset once it exists.
+        from fs_uae_image_enhancer_project_tpu.losses import vgg as vgg_mod
+
         m_novgg = base._replace(
             loss=dataclasses.replace(base.loss, vgg_weight=0.0)
         )
         ck_a, bv_a, be_a = run("ablation_novgg", m_novgg, args.ablation_epochs)
-        ck_b, bv_b, be_b = run("ablation_randvgg", base, args.ablation_epochs)
-
-        # cross-evaluate both under identical metrics
-        novgg_criterion = build_criterion(
-            dataclasses.replace(base.loss, vgg_weight=0.0)
-        )
-        _, va = make_ds()
-
-        def evaluate(ckpt_dir):
-            params = load_params(
-                os.path.join(ckpt_dir, "checkpoint_best_pix_shuffle"),
-                base.init(jax.random.key(0)),
-            )
-
-            from fs_uae_image_enhancer_project_tpu.data.dataset import (
-                batch_transform,
-            )
-
-            to_float = batch_transform(base.linear_io)
-
-            @jax.jit
-            def eval_step(p, lr_b, hr_b):
-                lr_b, hr_b = to_float(lr_b), to_float(hr_b)
-                y = base.apply(p, lr_b.astype(jnp.bfloat16)).astype(jnp.float32)
-                loss = novgg_criterion(y, hr_b)
-                # PSNR in the sRGB domain (linear io -> gamma for display)
-                ys = jnp.clip(y, 0, None) ** (1 / 2.2)
-                ts = jnp.clip(hr_b, 0, None) ** (1 / 2.2)
-                mse = jnp.mean((ys - ts) ** 2)
-                return loss, mse
-
-            losses, mses = [], []
-            for lr_b, hr_b in iter(va):
-                l, e = eval_step(params, jnp.asarray(lr_b), jnp.asarray(hr_b))
-                losses.append(float(l))
-                mses.append(float(e))
-            mse = float(np.mean(mses))
-            return {
-                "novgg_val_loss": float(np.mean(losses)),
-                "srgb_psnr_db": float(10 * np.log10(1.0 / mse)) if mse > 0 else 99.0,
-            }
+        ck_b, bv_b, be_b = run("ablation_randvgg", base, args.ablation_epochs,
+                               vgg_params=vgg_mod._random_init())
 
         summary["ablation"] = {
             "epochs": args.ablation_epochs,
@@ -171,9 +186,33 @@ def main() -> int:
             "note": "own-metric vals are NOT comparable across runs (different "
                     "criteria); novgg_val_loss and srgb_psnr_db are.",
         }
-        with open(os.path.join(OUT, "eval_summary.json"), "w") as f:
-            json.dump(summary, f, indent=1)
+        write_summary()
         print(json.dumps(summary["ablation"], indent=1), flush=True)
+
+    if "selfvgg" not in args.skip:
+        # (c) third row (round-4, VERDICT item 1): same seeds/data/epochs,
+        # perceptual term computed with the SELF-TRAINED in-domain VGG16
+        # features (scripts/train_vgg_features.py -> assets/
+        # vgg16_features_selftrained.npz, tap-RMS-calibrated to the random
+        # baseline so vgg_weight=0.007 carries the same meaning).
+        from fs_uae_image_enhancer_project_tpu.losses import vgg as vgg_mod
+
+        self_path = os.path.abspath(vgg_mod._ASSET_SELFTRAINED)
+        if not os.path.exists(self_path):
+            print(f"selfvgg leg skipped: no asset at {self_path}",
+                  file=sys.stderr)
+        else:
+            ck_c, bv_c, be_c = run(
+                "ablation_selfvgg", base, args.ablation_epochs,
+                vgg_params=vgg_mod._load_asset(self_path),
+            )
+            summary.setdefault("ablation", {})["selfvgg"] = {
+                "best_val_own_metric": bv_c, "best_epoch": be_c,
+                **evaluate(ck_c),
+            }
+            write_summary()
+            print(json.dumps(summary["ablation"]["selfvgg"], indent=1),
+                  flush=True)
 
     if "plateau" not in args.skip:
         # (b) full-criterion run to plateau
