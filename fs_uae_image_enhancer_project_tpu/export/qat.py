@@ -1,19 +1,14 @@
 """int8 quantization-aware training (QAT) and the int8 conv-stack path.
 
-Round-3 PTQ (export/quantized.py) showed naive post-training int8 lands at
-28.5 dB on pix_shuffle — far below the >=50 dB parity bar. This module turns
-the MXU's int8 2x-throughput lever into a *shipping* path where it
-structurally applies, and proves where it does not:
-
-- **Where int8 pays**: MXU-*throughput*-bound convs with full 128-lane
-  occupancy. conv3_heavy's middle conv (192->256 channels at 752x576,
-  383 of its 394 GFLOP) is exactly that shape; the family runs ~77 TFLOPS
-  effective in bf16 (docs/PERF.md round-4).
-- **Where it cannot**: lane-bound stacks (pix_shuffle / conv6, <=72-channel
-  layers fill <=56% of the MXU's N axis) — halving the element width does
-  not add lanes, and the per-conv quantize/dequantize VPU work is pure
-  overhead. Measured round-1: int8 pix_shuffle was *slower* (3.65 vs
-  3.21 ms).
+STATUS (round 4): the int8 question is CLOSED as a measured negative —
+this module is the study implementation behind that evidence
+(`scripts/bench_int8_qat.py`, `artifacts/int8_qat/report.json`, and the
+"int8: measured negative" section of docs/PERF.md). XLA's TPU conv
+lowering runs int8xint8->int32 at bf16 rate even at conv3_heavy's
+lane-filling 192->256 shape (+3% isolated, device-side fori_loop), so the
+quantize/requantize epilogues make every end-to-end int8 path slower
+(conv3_heavy 7.10 vs 5.02 ms; pix_shuffle 3.88 vs 3.59). Nothing
+dispatches here; all inference stays bf16 with fp32 gamma islands.
 
 Scheme (identical numerics in fake-quant training and int8 deployment):
 weights per-output-channel symmetric int8; conv inputs per-tensor symmetric

@@ -1,8 +1,12 @@
 """int8 quantized inference path for the production pix_shuffle model.
 
-The MXU executes int8 x int8 -> int32 at twice bf16 throughput; for the
-conv-dominated enhance workload this is the principal speed-of-light lever
-beyond bf16. Scheme:
+STATUS (round 4): measured negative, kept as study evidence — int8 conv on
+this TPU slice runs at bf16 rate through XLA's lowering (+3% at the most
+favorable shape) and the quantize epilogues make the end-to-end path
+slower (3.88 vs 3.59 ms here; full table in docs/PERF.md "int8: measured
+negative"). Nothing dispatches to this module; see also export/qat.py.
+
+Scheme:
 
 - weights: symmetric per-output-channel int8 (scale from max-abs),
 - conv inputs: symmetric per-tensor int8 with static scales from a
