@@ -190,6 +190,10 @@ def generate_palette_kmeans_jax(
 ) -> np.ndarray:
     """On-device Lloyd's k-means with k-means++-style greedy seeding — the
     TPU-native fast path for per-crop palettes (SURVEY §7 hard part 5)."""
+    from ..utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()  # fresh generator workers: reuse compiles
+
     import jax
     import jax.numpy as jnp
 
@@ -436,6 +440,13 @@ def reduce_color_depth_and_dither(
     use_pallas = backend == "pallas" and palette_u8 is not None and (
         2 <= palette_u8.shape[0] <= 1024
     )
+    if use_pallas:
+        # generator workers are fresh processes: without the persistent
+        # cache every child would recompile the fused kernel per
+        # (shape, mode, palette-size) variant before its first crop.
+        from ..utils.compile_cache import enable_persistent_cache
+
+        enable_persistent_cache()
 
     if dithering_method == "none":
         if target_palette_size is None:

@@ -144,13 +144,13 @@ def _run(px_aux: jnp.ndarray, pal4: jnp.ndarray, mode: int, block: int,
         out_shape=jax.ShapeDtypeStruct((n_px, 4), jnp.float32),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((block, 4), lambda i: (i, 0), memory_space=pltpu.ANY
+            pl.BlockSpec((block, 4), lambda i: (i, 0), memory_space=pl.ANY
                          if interpret else pltpu.VMEM),
             pl.BlockSpec((pal4.shape[0], 4), lambda i: (0, 0),
-                         memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+                         memory_space=pl.ANY if interpret else pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((block, 4), lambda i: (i, 0),
-                               memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+                               memory_space=pl.ANY if interpret else pltpu.VMEM),
         interpret=interpret,
     )(px_aux, pal4)
 

@@ -1,0 +1,168 @@
+#!/usr/bin/env python3
+"""Hardware demo of the widest NAS surface: the prune_act_r2 study
+(round-4, VERDICT item 5).
+
+Counterpart run of /root/reference/model/optuna_study_prune_act_r2.py
+(:102-159 search space, :383-388 storage): all 20 registry activations
+across all 7 conv6 layers, layer-6 kernel size in {3,5,7}, an FPS gate at
+the 60 fps north star, TPE sampling + median pruning, SQLite persistence,
+and the shared FPS cache — on the real lores corpus, on the TPU.
+
+Outputs (committed as artifacts/nas_demo_r2/):
+- studies.sqlite               — trial store (reference: tuning_results/)
+- model_performance_cache.json — FPS cache (reference keeps the same file)
+- prune_act_r2_{history,importances,pareto}.png
+- best_trial.json              — summary incl. the cache-hit demonstration
+
+Run on TPU from the repo root:  python scripts/nas_demo_r2.py
+"""
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+OUT = os.environ.get("NAS_OUT") or os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "artifacts", "nas_demo_r2")
+DATA = os.environ.get("NAS_DATA", "/root/work/dataset_lores/train")
+
+N_TRIALS = int(os.environ.get("NAS_TRIALS", "14"))
+EPOCHS = int(os.environ.get("NAS_EPOCHS", "5"))
+SAMPLES = int(os.environ.get("NAS_SAMPLES", "256"))
+MIN_FPS = float(os.environ.get("NAS_MIN_FPS", "60"))  # 0 disables the gate
+
+
+def main() -> int:
+    from fs_uae_image_enhancer_project_tpu.utils.compile_cache import (
+        enable_persistent_cache,
+    )
+
+    enable_persistent_cache()
+
+    import dataclasses
+
+    from fs_uae_image_enhancer_project_tpu.data.dataset import (
+        gather_all_samples_from_directory,
+        split_pairs,
+    )
+    from fs_uae_image_enhancer_project_tpu.nas.fps_cache import FPSCache
+    from fs_uae_image_enhancer_project_tpu.nas.search import (
+        MedianPruner,
+        TPESampler,
+        create_study,
+    )
+    from fs_uae_image_enhancer_project_tpu.nas.studies import (
+        STUDY_PRESETS,
+        make_objective,
+        suggest_conv6_config,
+    )
+    from fs_uae_image_enhancer_project_tpu.nas import visualize
+
+    os.makedirs(OUT, exist_ok=True)
+    pairs = gather_all_samples_from_directory(DATA, (376, 288), verbose=1)
+    train_pairs, val_pairs = split_pairs(pairs, 0.1)
+    print(f"corpus: {len(train_pairs)} train / {len(val_pairs)} val pairs",
+          flush=True)
+
+    cache = FPSCache(os.path.join(OUT, "model_performance_cache.json"))
+    objective = make_objective(
+        train_pairs=train_pairs,
+        val_pairs=val_pairs,
+        crop_size=(376, 288),
+        epochs_per_trial=EPOCHS,
+        samples_per_epoch=SAMPLES,
+        min_fps=MIN_FPS,  # the PAL-real-time north star as the hard gate
+        fps_cache=cache,
+        fps_duration_s=3.0,
+        **STUDY_PRESETS["prune_act_r2"],
+    )
+    study = create_study(
+        "prune_act_r2", os.path.join(OUT, "studies.sqlite"),
+        load_if_exists=True,
+        sampler=TPESampler(seed=0),
+        pruner=MedianPruner(n_warmup_steps=1),
+    )
+    study.optimize(objective, n_trials=N_TRIALS)
+
+    bt = study.best_trial
+    assert bt is not None, "no completed trials"
+    print(f"best value {bt.value:.6g} (trial {bt.number})", flush=True)
+
+    # FPS-cache hit demonstration: re-query the best trial's architecture
+    # through get_or_measure with a sentinel measure fn — a hit returns the
+    # stored figure WITHOUT invoking it (reference behaviour:
+    # optuna_study_opt_act.py:16-39 model_performance_cache.json).
+    class _Replay:
+        def __init__(self, params):
+            self.trial_params = dict(params)
+            self.calls = []
+
+        def suggest_categorical(self, name, choices):
+            self.calls.append(name)
+            return self.trial_params[name]
+
+        def suggest_int(self, name, lo, hi, step=1):
+            return int(self.trial_params[name])
+
+        def suggest_float(self, name, lo, hi, log=False):
+            return float(self.trial_params[name])
+
+    preset = STUDY_PRESETS["prune_act_r2"]
+    best_cfg = suggest_conv6_config(
+        _Replay(bt.params),
+        activation_choices=preset["activation_choices"],
+        layers_to_search=preset["layers_to_search"],
+        search_layer6_kernel=preset["search_layer6_kernel"],
+    )
+    measured = {"count": 0}
+
+    def _sentinel():
+        measured["count"] += 1
+        return -1.0
+
+    hit_fps = cache.get_or_measure(
+        {"config": dataclasses.asdict(best_cfg)}, _sentinel
+    )
+    cache_hit = measured["count"] == 0 and hit_fps > 0
+    print(f"fps-cache replay of best arch: fps={hit_fps:.1f} "
+          f"hit={cache_hit} (measure invoked {measured['count']}x)",
+          flush=True)
+
+    for fn, name in (
+        (visualize.plot_optimization_history, "prune_act_r2_history.png"),
+        (visualize.plot_param_importances, "prune_act_r2_importances.png"),
+        (visualize.plot_pareto, "prune_act_r2_pareto.png"),
+    ):
+        fn(study, os.path.join(OUT, name))
+
+    n_complete = sum(1 for t in study.trials if t.is_complete)
+    n_pruned = len(study.trials) - n_complete
+    summary = {
+        "study": "prune_act_r2",
+        "trials_total": len(study.trials),
+        "trials_complete": n_complete,
+        "trials_pruned_or_failed": n_pruned,
+        "epochs_per_trial": EPOCHS,
+        "samples_per_epoch": SAMPLES,
+        "crop_size": [376, 288],
+        "min_fps_gate": MIN_FPS,
+        "best_trial": {
+            "number": bt.number,
+            "value": bt.value,
+            "params": bt.params,
+        },
+        "fps_cache_hit_on_best_arch": {
+            "fps": hit_fps,
+            "hit": bool(cache_hit),
+            "measure_invocations": measured["count"],
+        },
+    }
+    with open(os.path.join(OUT, "best_trial.json"), "w") as f:
+        json.dump(summary, f, indent=1)
+    print(json.dumps(summary), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
