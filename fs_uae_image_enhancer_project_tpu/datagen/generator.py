@@ -23,6 +23,7 @@ items (generator.py:597-606 semantics). Filenames use the shared codec in
 from __future__ import annotations
 
 import dataclasses
+import multiprocessing
 import os
 import signal
 import sys
@@ -99,6 +100,11 @@ class GeneratorConfig:
     # dither for the vectorizable families — use with workers=1, the single
     # TPU chip is not shareable across worker processes)
     quantize_backend: str = "numpy"
+    # >0 with quantize_backend='pallas': run the styled phase in-process in
+    # spec-chunks of this size — ONE batched device call per (style, chunk)
+    # for palettes and dithering instead of one round trip per crop, with
+    # base-crop preparation shared across style combos (datagen/device_batch)
+    device_batch: int = 0
     black_ratio_threshold: float = 0.75
     max_crops_per_image: Optional[int] = None  # quota per (image, rot, ds)
     # per-split quotas on unique target crops, 0/None = unlimited
@@ -447,6 +453,19 @@ class DatasetGenerator:
                         f.cancel()
                     break
 
+        def report(path, err):
+            nonlocal done, errors
+            done += 1
+            if err is not None:
+                errors += 1
+                self._log(1, f"ERROR {path}: {err}")
+            if done % 50 == 0 or done == total:
+                rate = done / max(time.time() - t0, 1e-9)
+                eta = (total - done) / max(rate, 1e-9)
+                self._log(1, f"  {done}/{total} ({rate:.1f}/s, ETA {eta:.0f}s)")
+
+        batched_styled = cfg.quantize_backend == "pallas" and cfg.device_batch > 0
+
         # Phase A: targets first (styled pairing needs them); Phase B: styled.
         for jobs, worker, label in (
             (target_jobs, save_target_worker, "targets"),
@@ -455,7 +474,34 @@ class DatasetGenerator:
             if _stop_requested or not jobs:
                 continue
             self._log(1, f"generating {len(jobs)} {label} ...")
-            with ProcessPoolExecutor(max_workers=cfg.workers) as ex:
+            if label == "styled" and batched_styled:
+                # in-process batched device pipeline: one process owns the
+                # chip, one device call per (style, spec-chunk)
+                from .device_batch import run_styled_jobs_batched
+
+                run_styled_jobs_batched(
+                    jobs, cfg.device_batch, report,
+                    should_stop=lambda: _stop_requested,
+                )
+                continue
+            if cfg.quantize_backend == "pallas" and cfg.workers == 1:
+                # per-crop device path runs inline: one process owns the
+                # chip, and forking a pool worker after JAX has initialised
+                # in this process deadlocks the child on inherited XLA locks
+                # (the worker would re-enter jax for the pallas dither)
+                for j in jobs:
+                    if _stop_requested:
+                        break
+                    path, err = worker(j)
+                    report(path, err)
+                continue
+            # pallas with workers>1 must spawn (fresh interpreters — fork
+            # would inherit this process's XLA locks); the host path keeps
+            # the cheap fork default
+            ctx = (multiprocessing.get_context("spawn")
+                   if cfg.quantize_backend == "pallas" else None)
+            with ProcessPoolExecutor(max_workers=cfg.workers,
+                                     mp_context=ctx) as ex:
                 drain([ex.submit(worker, j) for j in jobs])
         if errors:
             self._log(1, f"completed with {errors} errors")
@@ -543,6 +589,10 @@ def main(argv: Optional[List[str]] = None) -> int:
                     choices=["numpy", "pallas"],
                     help="'pallas' runs vectorizable dithers on-device "
                          "(use with --workers 1)")
+    ap.add_argument("--device_batch", type=int, default=0,
+                    help="with --quantize_backend pallas: styled-phase "
+                         "spec-chunk size for batched on-device palette + "
+                         "dither calls (0 = per-crop)")
     ap.add_argument("--max_crops_per_image", type=int, default=None)
     ap.add_argument("--train_num_crops", type=int, default=0,
                     help="total unique target crops for train (0 = all)")
@@ -581,6 +631,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         downscales=tuple(args.downscale),
         palette_algorithm=args.palette_algorithm,
         quantize_backend=args.quantize_backend,
+        device_batch=args.device_batch,
         max_crops_per_image=args.max_crops_per_image,
         train_num_crops=args.train_num_crops or None,
         test_num_crops=args.test_num_crops or None,

@@ -185,11 +185,64 @@ def generate_palette_kmeans_sklearn(
     return km.cluster_centers_.astype(np.uint8)
 
 
+# jitted k-means executables, keyed by (num_colors, iters, batched) — one
+# compile per palette size, reused across every crop in the process
+_KMEANS_JAX_FNS: dict = {}
+
+
+def _kmeans_jax_fn(num_colors: int, iters: int, batched: bool):
+    import jax
+    import jax.numpy as jnp
+
+    cached = _KMEANS_JAX_FNS.get((num_colors, iters, batched))
+    if cached is not None:
+        return cached
+
+    def core(pts, key):
+        # greedy++ seeding: start from a random point, then repeatedly take
+        # the point farthest from the current centre set (deterministic
+        # given seed)
+        def seed_step(carry, _):
+            centers, dists = carry
+            idx = jnp.argmax(dists)
+            c = pts[idx]
+            centers = jnp.roll(centers, 1, axis=0).at[0].set(c)
+            d_new = jnp.sum((pts - c) ** 2, axis=1)
+            return (centers, jnp.minimum(dists, d_new)), None
+
+        first = pts[jax.random.randint(key, (), 0, pts.shape[0])]
+        centers0 = jnp.tile(first, (num_colors, 1))
+        d0 = jnp.sum((pts - first) ** 2, axis=1)
+        (centers, _), _ = jax.lax.scan(
+            seed_step, (centers0, d0), None, length=num_colors - 1
+        )
+
+        def lloyd(centers, _):
+            d = jnp.sum((pts[:, None, :] - centers[None]) ** 2, axis=-1)
+            assign = jnp.argmin(d, axis=1)
+            one_hot = jax.nn.one_hot(assign, num_colors, dtype=jnp.float32)
+            counts = one_hot.sum(axis=0)
+            sums = jnp.matmul(one_hot.T, pts, precision=jax.lax.Precision.HIGHEST)
+            new = jnp.where(
+                counts[:, None] > 0, sums / jnp.maximum(counts[:, None], 1), centers
+            )
+            return new, None
+
+        centers, _ = jax.lax.scan(lloyd, centers, None, length=iters)
+        return centers
+
+    fn = jax.vmap(core, in_axes=(0, None)) if batched else core
+    fn = jax.jit(fn)
+    _KMEANS_JAX_FNS[(num_colors, iters, batched)] = fn
+    return fn
+
+
 def generate_palette_kmeans_jax(
     pixels: np.ndarray, num_colors: int, iters: int = 25, seed: int = 42
 ) -> np.ndarray:
     """On-device Lloyd's k-means with k-means++-style greedy seeding — the
-    TPU-native fast path for per-crop palettes (SURVEY §7 hard part 5)."""
+    TPU-native fast path for per-crop palettes (SURVEY §7 hard part 5).
+    Jitted (one XLA program per palette size), persistent-cached."""
     from ..utils.compile_cache import enable_persistent_cache
 
     enable_persistent_cache()  # fresh generator workers: reuse compiles
@@ -197,34 +250,29 @@ def generate_palette_kmeans_jax(
     import jax
     import jax.numpy as jnp
 
-    pts = jnp.asarray(pixels, jnp.float32)
-    key = jax.random.key(seed)
+    fn = _kmeans_jax_fn(num_colors, iters, batched=False)
+    centers = fn(jnp.asarray(pixels, jnp.float32), jax.random.key(seed))
+    return np.clip(np.asarray(centers), 0, 255).astype(np.uint8)
 
-    # greedy++ seeding: start from a random point, then repeatedly take the
-    # point farthest from the current centre set (deterministic given seed)
-    def seed_step(carry, _):
-        centers, dists = carry
-        idx = jnp.argmax(dists)
-        c = pts[idx]
-        centers = jnp.roll(centers, 1, axis=0).at[0].set(c)
-        d_new = jnp.sum((pts - c) ** 2, axis=1)
-        return (centers, jnp.minimum(dists, d_new)), None
 
-    first = pts[jax.random.randint(key, (), 0, pts.shape[0])]
-    centers0 = jnp.tile(first, (num_colors, 1))
-    d0 = jnp.sum((pts - first) ** 2, axis=1)
-    (centers, _), _ = jax.lax.scan(seed_step, (centers0, d0), None, length=num_colors - 1)
+def generate_palettes_kmeans_jax_batch(
+    pixel_stacks: np.ndarray, num_colors: int, iters: int = 25, seed: int = 42
+) -> np.ndarray:
+    """Batched on-device k-means: (B, N, 3) pixel stacks -> (B, num_colors, 3)
+    uint8 palettes in ONE device call (vmap of the scalar core, same seed per
+    crop — bitwise-identical palettes to per-crop
+    :func:`generate_palette_kmeans_jax`). This is what makes device-side
+    palette generation pay through a high-RTT link: the per-crop path costs
+    a round trip per crop; this costs one per batch."""
+    from ..utils.compile_cache import enable_persistent_cache
 
-    def lloyd(centers, _):
-        d = jnp.sum((pts[:, None, :] - centers[None]) ** 2, axis=-1)
-        assign = jnp.argmin(d, axis=1)
-        one_hot = jax.nn.one_hot(assign, num_colors, dtype=jnp.float32)
-        counts = one_hot.sum(axis=0)
-        sums = jnp.matmul(one_hot.T, pts, precision=jax.lax.Precision.HIGHEST)
-        new = jnp.where(counts[:, None] > 0, sums / jnp.maximum(counts[:, None], 1), centers)
-        return new, None
+    enable_persistent_cache()
 
-    centers, _ = jax.lax.scan(lloyd, centers, None, length=iters)
+    import jax
+    import jax.numpy as jnp
+
+    fn = _kmeans_jax_fn(num_colors, iters, batched=True)
+    centers = fn(jnp.asarray(pixel_stacks, jnp.float32), jax.random.key(seed))
     return np.clip(np.asarray(centers), 0, 255).astype(np.uint8)
 
 

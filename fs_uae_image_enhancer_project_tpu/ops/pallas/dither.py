@@ -212,7 +212,70 @@ def pallas_palette_dither_batch(
     images: np.ndarray, palette_u8: np.ndarray, method: str = "none",
     bayer: Optional[np.ndarray] = None,
 ) -> np.ndarray:
-    """vmap-style batch: same palette applied to a stack of crops."""
-    return np.stack(
-        [pallas_palette_dither(img, palette_u8, method, bayer) for img in images]
+    """Same palette applied to a stack of crops (one device call)."""
+    b = images.shape[0]
+    return pallas_palette_dither_batch_per_palette(
+        images, np.broadcast_to(palette_u8, (b,) + palette_u8.shape), method,
+        bayer,
     )
+
+
+@functools.partial(jax.jit, static_argnames=("mode", "block", "interpret"))
+def _run_batch(px_aux: jnp.ndarray, pal4: jnp.ndarray, mode: int, block: int,
+               interpret: bool):
+    return jax.vmap(
+        lambda px, pal: _run(px, pal, mode, block, interpret)
+    )(px_aux, pal4)
+
+
+def pallas_palette_dither_batch_per_palette(
+    images: np.ndarray,
+    palettes_u8: np.ndarray,
+    method: str = "none",
+    bayer: Optional[np.ndarray] = None,
+    *,
+    block: int = 512,
+    interpret: Optional[bool] = None,
+) -> np.ndarray:
+    """Dither a (B, H, W, 3) stack of crops, each onto its OWN palette
+    ((B, N, 3) uint8), in ONE fused device call (vmap lifts the kernel's
+    grid over the batch axis). With per-crop k-means palettes this is the
+    generator's on-device batch path: one round trip per style group
+    instead of one per crop. Per-crop results are identical to
+    :func:`pallas_palette_dither` (same kernel, same padding)."""
+    b, h, w, _ = images.shape
+    n = palettes_u8.shape[1]
+    if n < 2 or n > 1024:
+        raise ValueError("pallas dither supports palettes of 2..1024 colours")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    mode = {"none": MODE_MAP, "checkerboard": MODE_CHECKER, "ordered": MODE_ORDERED}[
+        method
+    ]
+    if mode == MODE_ORDERED:
+        if bayer is None:
+            raise ValueError("ordered dithering needs a bayer matrix")
+        aux = _bayer_threshold_map(bayer, h, w)
+    elif mode == MODE_CHECKER:
+        aux = _checker_map(h, w)
+    else:
+        aux = np.zeros((h, w), np.float32)
+
+    n_px = h * w
+    n_pad = _round_up(n_px, block)
+    px_aux = np.zeros((b, n_pad, 4), np.float32)
+    px_aux[:, :n_px, :3] = images.reshape(b, -1, 3).astype(np.float32)
+    px_aux[:, :n_px, 3] = aux.reshape(-1)[None]
+
+    pal_f = palettes_u8.astype(np.float32)
+    n_pal_pad = max(_round_up(n, 8), 8)
+    pal4 = np.full((b, n_pal_pad, 4), 1e6, np.float32)
+    pal4[:, :n, :3] = pal_f
+    pal4[:, :n, 3] = pal_f @ np.asarray(_LUMA, np.float32)
+
+    out = np.asarray(
+        _run_batch(jnp.asarray(px_aux), jnp.asarray(pal4), mode, block, interpret)
+    )
+    rgb = out[:, :n_px, :3].reshape(b, h, w, 3)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
