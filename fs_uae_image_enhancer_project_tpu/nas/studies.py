@@ -141,7 +141,7 @@ def make_objective(
     import jax
     import jax.numpy as jnp
 
-    from ..data.dataset import SRDataset
+    from ..data.dataset import SRDataset, batch_transform
     from ..losses.functional import l1_loss
     from ..models import conv6 as conv6_mod
     from ..parallel.train_step import (
@@ -179,25 +179,32 @@ def make_objective(
         params = conv6_mod.init(jax.random.key(trial.number), cfg)
         optimizer = make_optimizer(lr=lr)
         state = init_train_state(params, optimizer)
+        # uint8 batch transfer + on-device decode: through the tunnel the
+        # PJRT client retains ~1 GB host RSS per GB device_put forever
+        # (docs/PERF.md "Tunnel transfer retention") — a multi-trial study
+        # with fp32 batches would throttle; bytes-on-the-link is also just
+        # the right TPU shape (move bytes, not floats)
+        tf = batch_transform(linear=True)
         step = jax.jit(
             make_train_step(
                 lambda p, x: conv6_mod.apply(p, x, cfg),
                 lambda o, t: l1_loss(o, t),
                 optimizer,
+                input_transform=tf,
             ),
             donate_argnums=(0,),
         )
 
         @jax.jit
         def eval_loss(p, lr_b, hr_b):
-            y = conv6_mod.apply(p, lr_b.astype(jnp.bfloat16), cfg)
-            return l1_loss(y.astype(jnp.float32), hr_b)
+            y = conv6_mod.apply(p, tf(lr_b).astype(jnp.bfloat16), cfg)
+            return l1_loss(y.astype(jnp.float32), tf(hr_b).astype(jnp.float32))
 
         best_val = float("inf")
         for epoch in range(epochs_per_trial):
             ds = SRDataset(
                 train_pairs, crop_size, samples_per_epoch, batch_size=bs,
-                seed=trial.number * 100 + epoch,
+                seed=trial.number * 100 + epoch, transfer_dtype="uint8",
             )
             for lr_b, hr_b in ds:
                 state, loss = step(
@@ -207,7 +214,7 @@ def make_objective(
                     return float("inf")
             vds = SRDataset(
                 val_pairs or train_pairs, crop_size, max(bs, 16),
-                batch_size=bs, seed=1, flips=False,
+                batch_size=bs, seed=1, flips=False, transfer_dtype="uint8",
             )
             vals = [
                 float(eval_loss(state.params, jnp.asarray(a), jnp.asarray(b)))
