@@ -20,6 +20,7 @@ REF = "/root/reference/model"
 CKPTS = {
     "conv6": "/root/work/train_conv6/checkpoint_best_conv6",
     "residual_unet": "/root/work/train_unet/checkpoint_best_residual_unet",
+    "pix_shuffle_heavy": "/root/work/train_psh/checkpoint_best_pix_shuffle",
 }
 
 
@@ -68,8 +69,8 @@ def main() -> int:
         )
 
     rng = np.random.default_rng(0)
-    for name in ("pix_shuffle", "conv3", "conv3_heavy", "conv5",
-                 "conv5_heavy", "conv6", "residual_unet"):
+    for name in ("pix_shuffle", "pix_shuffle_heavy", "conv3", "conv3_heavy",
+                 "conv5", "conv5_heavy", "conv6", "residual_unet"):
         fn, src = family_fn(name)
         # fresh device frame per family: each fn donates its input, which
         # deletes the buffer after the first call
