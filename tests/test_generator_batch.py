@@ -100,6 +100,73 @@ def test_batched_run_is_idempotent(source_tree):
     assert s2["generated_this_run"] == 0
 
 
+def test_batch_level_failure_reports_every_member(source_tree, monkeypatch):
+    """A device-call failure inside a (style, chunk) batch must surface as a
+    per-job error for every member of that batch — and must not abort the
+    rest of the run (targets and the scalar-fallback dithers still
+    generate, and the run finishes with a summary instead of raising)."""
+    from fs_uae_image_enhancer_project_tpu.datagen import device_batch
+
+    def boom(*a, **k):
+        raise RuntimeError("injected device failure")
+
+    monkeypatch.setattr(
+        device_batch, "generate_palettes_kmeans_jax_batch", boom
+    )
+    cfg = _cfg(source_tree, "out_fail", quantize_backend="pallas",
+               device_batch=4)
+    stats = DatasetGenerator(cfg).run()
+    out = _tree_bytes(cfg.dest_dir)
+    # batchable combos failed (reported, not raised) -> files missing
+    assert stats["missing"] > 0
+    assert not stats["stopped"]
+    # the scalar fallback family was untouched by the injected failure
+    assert any("floyd" in k for k in out), \
+        "scalar-fallback dithers should still generate"
+    # targets (palette-free) generated too
+    assert any(os.path.basename(k).startswith("target_") for k in out)
+
+
+def test_batched_stop_at_chunk_boundary_then_resume(source_tree, monkeypatch):
+    """should_stop trips after the first chunk: the run ends cleanly with
+    only completed-chunk files on disk, and a plain re-run resumes to the
+    byte-identical full tree (SIGINT-at-boundaries semantics,
+    reference generator.py SIGINT contract)."""
+    from fs_uae_image_enhancer_project_tpu.datagen import device_batch as db
+
+    # full tree for comparison
+    cfg_full = _cfg(source_tree, "out_stop_full", quantize_backend="pallas",
+                    device_batch=2)
+    assert DatasetGenerator(cfg_full).run()["missing"] == 0
+    full = _tree_bytes(cfg_full.dest_dir)
+
+    orig = db.run_styled_jobs_batched
+
+    def tripping(jobs, batch_size, report, should_stop=lambda: False):
+        polls = {"n": 0}
+
+        def trip():
+            polls["n"] += 1
+            return polls["n"] > 1  # first chunk runs, second poll stops
+
+        return orig(jobs, batch_size, report, should_stop=trip)
+
+    cfg_part = _cfg(source_tree, "out_stop_part", quantize_backend="pallas",
+                    device_batch=2)
+    monkeypatch.setattr(db, "run_styled_jobs_batched", tripping)
+    s_part = DatasetGenerator(cfg_part).run()
+    partial = _tree_bytes(cfg_part.dest_dir)
+    assert s_part["missing"] > 0
+    assert len(partial) < len(full)
+
+    # plain re-run (patch removed) completes the remainder byte-identically
+    monkeypatch.setattr(db, "run_styled_jobs_batched", orig)
+    assert DatasetGenerator(cfg_part).run()["missing"] == 0
+    resumed = _tree_bytes(cfg_part.dest_dir)
+    assert set(resumed) == set(full)
+    assert all(resumed[k] == full[k] for k in full)
+
+
 def test_batched_matches_percrop_for_host_palettes(source_tree):
     """With a host palette algorithm (median_cut) the batch path computes
     palettes on the host but still dithers on device in one call — output
