@@ -558,6 +558,9 @@ class DatasetGenerator:
 # ---------------------------------------------------------------------------
 
 def main(argv: Optional[List[str]] = None) -> int:
+    from ..utils.platform import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
     import argparse
 
     ap = argparse.ArgumentParser(description="Idempotent dataset generator")

@@ -20,6 +20,9 @@ from typing import Optional
 
 
 def main(argv: Optional[list] = None) -> int:
+    from ..utils.platform import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
     from ..utils.compile_cache import enable_persistent_cache
 
     enable_persistent_cache()

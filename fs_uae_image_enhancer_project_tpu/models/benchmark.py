@@ -20,6 +20,9 @@ from . import MODEL_NAMES, count_params, get_model
 
 
 def main(argv: Optional[List[str]] = None) -> int:
+    from ..utils.platform import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
     import argparse
 
     ap = argparse.ArgumentParser(description="Model performance benchmark")

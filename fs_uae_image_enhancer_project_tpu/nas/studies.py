@@ -251,6 +251,9 @@ STUDY_PRESETS = {
 
 
 def main(argv=None) -> int:
+    from ..utils.platform import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
     import argparse
 
     ap = argparse.ArgumentParser(description="Run a NAS activation study")

@@ -11,6 +11,9 @@ from typing import List, Optional
 
 
 def main(argv: Optional[List[str]] = None) -> int:
+    from ..utils.platform import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
     import argparse
 
     ap = argparse.ArgumentParser(description="Train an image enhancement model.")
