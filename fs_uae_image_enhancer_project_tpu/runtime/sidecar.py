@@ -36,9 +36,15 @@ a drain returns the tail. D = 0 disables pipelining: every submit gets its
 enhanced frame immediately (one-frame latency mode for emulators that cannot
 tolerate display lag).
 
-One client at a time: real-time enhancement is a single-emulator, batch-1
-workload (docs/PERF.md "Batching is NOT a throughput lever"); serving several
-emulator instances means several sockets time-slicing one chip.
+Multi-instance serving: each connected client gets its own session thread
+and its own pipeline (FrameStream); all sessions share the ONE compiled
+enhance program, so N emulator instances time-slice the chip through the
+device's execution queue (batch-1 stays the right shape per docs/PERF.md
+"Batching is NOT a throughput lever" — concurrency comes from interleaving
+frames, not from batching them). jit-compiled calls are thread-safe; each
+session's uploads/readbacks overlap the other sessions' compute. An
+OP_SHUTDOWN from any client stops the whole server (all sessions are
+unblocked and joined).
 """
 from __future__ import annotations
 
@@ -46,6 +52,7 @@ import os
 import socket
 import struct
 import sys
+import threading
 from typing import Callable, Optional
 
 import numpy as np
@@ -81,17 +88,24 @@ class SidecarServer:
         height: int = 576,
         width: int = 752,
         depth: int = 2,
+        max_clients: int = 4,
         verbose: int = 1,
     ):
         if depth < 0:
             raise ValueError("depth must be >= 0")
+        if max_clients < 1:
+            raise ValueError("max_clients must be >= 1")
         self.fn = enhance_fn
         self.socket_path = socket_path
         self.h, self.w = height, width
         self.depth = depth
+        self.max_clients = max_clients
         self.frame_bytes = height * width * 4
         self.verbose = verbose
         self._sock: Optional[socket.socket] = None
+        self._shutdown = threading.Event()
+        self._conns_lock = threading.Lock()
+        self._conns: set = set()
 
     def _log(self, msg: str) -> None:
         if self.verbose:
@@ -111,27 +125,85 @@ class SidecarServer:
             os.unlink(self.socket_path)
         self._sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
         self._sock.bind(self.socket_path)
-        self._sock.listen(1)
+        self._sock.listen(self.max_clients)
         self._log(f"listening on {self.socket_path} "
-                  f"({self.w}x{self.h}, depth {self.depth})")
+                  f"({self.w}x{self.h}, depth {self.depth}, "
+                  f"max_clients {self.max_clients})")
 
     def serve_forever(self) -> None:
-        """Accept loop; returns after an OP_SHUTDOWN."""
+        """Accept loop; returns after an OP_SHUTDOWN from any client.
+
+        Each client runs in its own session thread with its own pipeline;
+        the compiled enhance program is shared (thread-safe under jit), so
+        concurrent emulator instances time-slice the one chip. A
+        per-server semaphore caps concurrent sessions at ``max_clients``
+        (excess connections queue in the listen backlog).
+        """
         if self._sock is None:
             self.bind()
+        self._shutdown.clear()
+        # A blocked accept() is NOT woken by close() from another thread, so
+        # the accept loop polls with a short timeout and re-checks the
+        # shutdown flag (same for the session-slot wait).
+        self._sock.settimeout(0.2)
+        slots = threading.Semaphore(self.max_clients)
+        threads = []
         try:
-            while True:
-                conn, _ = self._sock.accept()
+            while not self._shutdown.is_set():
+                if not slots.acquire(timeout=0.2):
+                    continue
+                if self._shutdown.is_set():
+                    break
                 try:
-                    if not self._serve_client(conn):
-                        return
-                finally:
-                    conn.close()
+                    conn, _ = self._sock.accept()
+                except socket.timeout:
+                    slots.release()
+                    continue
+                except OSError:
+                    break  # listening socket closed by a shutdown request
+                conn.settimeout(None)
+                with self._conns_lock:
+                    self._conns.add(conn)
+
+                def session(conn=conn):
+                    try:
+                        if not self._serve_client(conn):
+                            self._request_shutdown()
+                    except (ConnectionError, BrokenPipeError, OSError) as e:
+                        self._log(f"client error: {e}")
+                    finally:
+                        with self._conns_lock:
+                            self._conns.discard(conn)
+                        conn.close()
+                        slots.release()
+
+                t = threading.Thread(target=session, daemon=True)
+                t.start()
+                threads.append(t)
         finally:
-            self._sock.close()
+            self._request_shutdown()
+            for t in threads:
+                t.join(timeout=60)
             self._sock = None
             if os.path.exists(self.socket_path):
                 os.unlink(self.socket_path)
+
+    def _request_shutdown(self) -> None:
+        """Stop accepting and unblock every live session's recv."""
+        if self._shutdown.is_set():
+            return
+        self._shutdown.set()
+        if self._sock is not None:
+            try:
+                self._sock.close()
+            except OSError:
+                pass
+        with self._conns_lock:
+            for c in list(self._conns):
+                try:
+                    c.shutdown(socket.SHUT_RDWR)
+                except OSError:
+                    pass
 
     def _serve_client(self, conn: socket.socket) -> bool:
         """One client session; False means shutdown was requested."""
@@ -260,18 +332,25 @@ def main(argv=None) -> int:
                     help="ONNX graph to serve (default: reference shipped)")
     ap.add_argument("--depth", type=int, default=2,
                     help="pipeline depth; 0 = synchronous")
+    ap.add_argument("--max_clients", type=int, default=4,
+                    help="concurrent emulator instances served "
+                         "(sessions share the one compiled program)")
     ap.add_argument("--height", type=int, default=576)
     ap.add_argument("--width", type=int, default=752)
     ap.add_argument("--quiet", action="store_true")
     args = ap.parse_args(argv)
 
+    from ..utils.platform import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
     from ..utils.compile_cache import enable_persistent_cache
 
     enable_persistent_cache()
     fn = build_enhance_fn(args.model, args.weights)
     server = SidecarServer(
         fn, args.socket, height=args.height, width=args.width,
-        depth=args.depth, verbose=0 if args.quiet else 1,
+        depth=args.depth, max_clients=args.max_clients,
+        verbose=0 if args.quiet else 1,
     )
     server.warmup()
     server.bind()

@@ -1,0 +1,169 @@
+"""Multi-instance serving benchmark: N concurrent clients on one sidecar.
+
+docs/PERF.md asserts that serving several emulator instances means
+time-slicing the one chip; this measures it. One resident sidecar process
+owns the compiled enhance program (runtime/sidecar.py, max_clients >= N);
+this driver connects N replay clients, each pumping frames for a fixed
+wall-clock window, and reports per-client and aggregate end-to-end fps.
+
+The client process never touches jax (SidecarClient is numpy+socket only),
+so the server subprocess stays the single TPU process (CLAUDE.md rule).
+Through this environment's tunnel each readback is a network round trip, so
+per-client fps is RTT-bound (see PERF.md "Host transfers"); the quantity
+under test is the CONCURRENCY SCALING — sessions overlap their round trips
+and compute, so aggregate fps should scale with N until chip time or the
+link saturates.
+
+Usage:
+    python scripts/bench_sidecar_multiclient.py \
+        [--clients 1 2 4] [--seconds 20] [--depth 2] \
+        [--out artifacts/sidecar_multiclient_r4.json]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import threading
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+H, W = 576, 752
+
+
+def start_server(sock: str, depth: int, max_clients: int) -> subprocess.Popen:
+    env = dict(os.environ)
+    prev = env.get("PYTHONPATH", "")
+    env["PYTHONPATH"] = REPO + (os.pathsep + prev if prev else "")
+    proc = subprocess.Popen(
+        [sys.executable, "-m",
+         "fs_uae_image_enhancer_project_tpu.runtime.sidecar",
+         "--socket", sock, "--depth", str(depth),
+         "--max_clients", str(max_clients)],
+        env=env, cwd=REPO, stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, text=True,
+    )
+    deadline = time.time() + 900  # tunnel first-execution lottery
+    lines = []
+    while time.time() < deadline:
+        line = proc.stdout.readline()
+        if not line:
+            break
+        lines.append(line)
+        if "SIDECAR_READY" in line:
+            # drain server stdout in the background so it never blocks on a
+            # full pipe while we measure
+            threading.Thread(
+                target=lambda: [None for _ in proc.stdout], daemon=True
+            ).start()
+            return proc
+    proc.kill()
+    raise RuntimeError("server never ready:\n" + "".join(lines))
+
+
+def drive_client(sock: str, seconds: float, result: dict) -> None:
+    from fs_uae_image_enhancer_project_tpu.runtime.sidecar import SidecarClient
+
+    rng = np.random.default_rng(0)
+    frames = [rng.integers(0, 256, (H, W, 4), np.uint8) for _ in range(4)]
+    c = SidecarClient(sock)
+    # per-client warmup: fill the pipeline + first response
+    for i in range(c.depth + 1):
+        c.submit(frames[i % 4])
+    list(c.drain())
+
+    got = 0
+    t0 = time.perf_counter()
+    i = 0
+    while time.perf_counter() - t0 < seconds:
+        if c.submit(frames[i % 4]) is not None:
+            got += 1
+        i += 1
+    for _ in c.drain():
+        got += 1
+    dt = time.perf_counter() - t0
+    c.close()
+    result["fps"] = got / dt
+    result["frames"] = got
+    result["seconds"] = dt
+
+
+def measure(sock: str, n_clients: int, seconds: float) -> dict:
+    results = [dict() for _ in range(n_clients)]
+    threads = [
+        threading.Thread(target=drive_client, args=(sock, seconds, results[i]))
+        for i in range(n_clients)
+    ]
+    t0 = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t0
+    total_frames = sum(r["frames"] for r in results)
+    return {
+        "clients": n_clients,
+        "per_client_fps": [round(r["fps"], 3) for r in results],
+        "aggregate_fps": round(total_frames / wall, 3),
+        "total_frames": total_frames,
+        "wall_s": round(wall, 2),
+    }
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--clients", type=int, nargs="+", default=[1, 2, 4])
+    ap.add_argument("--seconds", type=float, default=20.0)
+    ap.add_argument("--depth", type=int, default=2)
+    ap.add_argument("--out", default="artifacts/sidecar_multiclient_r4.json")
+    args = ap.parse_args(argv)
+
+    sock = f"/tmp/bench_sidecar_{os.getpid()}.sock"
+    server = start_server(sock, args.depth, max(args.clients))
+    rows = []
+    try:
+        for n in args.clients:
+            row = measure(sock, n, args.seconds)
+            rows.append(row)
+            print(f"clients={n}: aggregate {row['aggregate_fps']} fps, "
+                  f"per-client {row['per_client_fps']}", flush=True)
+    finally:
+        from fs_uae_image_enhancer_project_tpu.runtime.sidecar import (
+            SidecarClient,
+        )
+
+        try:
+            c = SidecarClient(sock)
+            c.shutdown_server()
+            c.close()
+        except Exception:
+            server.kill()
+        server.wait(timeout=60)
+
+    report = {
+        "date": time.strftime("%Y-%m-%d"),
+        "harness": "scripts/bench_sidecar_multiclient.py",
+        "geometry": [H, W],
+        "depth": args.depth,
+        "seconds_per_point": args.seconds,
+        "note": ("end-to-end through the axon tunnel: per-client fps is "
+                 "RTT-bound (PERF.md 'Host transfers'); the measured "
+                 "quantity is aggregate scaling across concurrent "
+                 "sessions sharing one compiled program / one chip"),
+        "rows": rows,
+    }
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report["rows"]))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -182,6 +182,96 @@ def test_sync_mode_depth0():
     assert not thread.is_alive()
 
 
+def test_concurrent_clients_inprocess():
+    """N clients served simultaneously, each with an independent pipeline;
+    per-client outputs must equal what a lone client would get."""
+    import threading
+
+    sock, thread, SidecarClient = _inprocess_server(1)
+    n_clients, n_frames = 3, 6
+    results = [None] * n_clients
+    errors = []
+
+    def drive(idx):
+        try:
+            client = SidecarClient(sock)
+            frames = _frames(n_frames, seed=100 + idx)
+            outs = [client.submit(f) for f in frames]
+            assert outs[0] is None  # depth=1 warmup, per client
+            got = [o for o in outs if o is not None] + list(client.drain())
+            client.close()
+            results[idx] = (frames, got)
+        except Exception as e:  # surface in the main thread
+            errors.append((idx, e))
+
+    drivers = [threading.Thread(target=drive, args=(i,))
+               for i in range(n_clients)]
+    for d in drivers:
+        d.start()
+    for d in drivers:
+        d.join(timeout=60)
+    assert not errors, errors
+    for frames, got in results:
+        assert len(got) == n_frames
+        for f, o in zip(frames, got):  # FIFO order per client
+            np.testing.assert_array_equal(o[..., :3], 255 - f[..., :3])
+    # server still alive: one more client can connect and shut it down
+    c = SidecarClient(sock)
+    c.shutdown_server()
+    c.close()
+    thread.join(timeout=30)
+    assert not thread.is_alive()
+
+
+def test_shutdown_unblocks_other_clients():
+    """OP_SHUTDOWN from one client stops the server even while another
+    client is idle inside recv."""
+    sock, thread, SidecarClient = _inprocess_server(0)
+    idle = SidecarClient(sock)  # connected, never sends
+    killer = SidecarClient(sock)
+    killer.shutdown_server()
+    killer.close()
+    thread.join(timeout=30)
+    assert not thread.is_alive()
+    idle.close()
+
+
+def test_concurrent_clients_subprocess(server):
+    """Two clients against the real jax-backed server: same frame in, the
+    lone-client result out for both."""
+    import threading
+
+    from fs_uae_image_enhancer_project_tpu.runtime.sidecar import SidecarClient
+
+    frame = _frames(1, seed=21)[0]
+    solo = SidecarClient(server)
+    solo.submit(frame)
+    expect = list(solo.drain())[0]
+    solo.close()
+
+    outs = [None, None]
+    errors = []
+
+    def drive(idx):
+        try:
+            c = SidecarClient(server)
+            for _ in range(3):
+                c.submit(frame)
+            outs[idx] = (list(c.drain()))[-1]
+            c.close()
+        except Exception as e:
+            errors.append((idx, e))
+
+    ts = [threading.Thread(target=drive, args=(i,)) for i in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=120)
+    assert not errors, errors
+    for out in outs:
+        np.testing.assert_array_equal(out, expect)
+
+
 def test_reconnect_after_disconnect():
     """Server survives a client disconnect and accepts the next one."""
     sock, thread, SidecarClient = _inprocess_server(1)
