@@ -1,0 +1,170 @@
+"""Head-to-head: reference's shipped pix_shuffle weights vs weights trained
+by THIS framework, scored on identical held-out in-domain pairs.
+
+The reference ships pix_shuffle weights trained on its own (unpublished)
+corpus (/root/reference/model/model_pix_shuffle/pix_shuffle.onnx,
+training_stats_pix_shuffle.csv). This framework's trainer produced a
+50-epoch plateau checkpoint on the reproducible lores corpus
+(artifacts/training_parity/plateau_full/, scripts/training_parity_study.py)
+and a pix_shuffle_heavy checkpoint (artifacts/model_pix_shuffle_heavy/).
+This script evaluates all three under ONE protocol — the training-parity
+study's val pipeline (same gather, same split_pairs(seed=0) 10% held-out
+pool, same deterministic SRDataset draws, same sRGB-PSNR metric) — in one
+process on the TPU.
+
+Fairness caveats (also recorded in the output JSON):
+- the shipped weights never saw this corpus; the trained rows saw its other
+  90%. This measures IN-DOMAIN RETRAINING VALUE (what a user gets by
+  retraining on their corpus with this framework), not weight quality on
+  the reference's own distribution.
+- the held-out pool was the trained rows' early-stopping validation set
+  (selection-only; none of its pairs were trained on).
+
+Usage:
+    python scripts/eval_headtohead.py --data /root/work/dataset_lores/train \
+        [--num_samples 1024] [--out artifacts/headtohead_r4.json]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REF_ONNX = "/root/reference/model/model_pix_shuffle/pix_shuffle.onnx"
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data", default="/root/work/dataset_lores/train")
+    ap.add_argument("--crop_size", type=int, nargs=2, default=[376, 288])
+    ap.add_argument("--num_samples", type=int, default=1024)
+    ap.add_argument("--batch_size", type=int, default=8)
+    ap.add_argument("--out", default="artifacts/headtohead_r4.json")
+    args = ap.parse_args()
+
+    from fs_uae_image_enhancer_project_tpu.utils.compile_cache import (
+        enable_persistent_cache,
+    )
+
+    enable_persistent_cache()
+
+    import dataclasses
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from fs_uae_image_enhancer_project_tpu.data import (
+        SRDataset, gather_all_samples_from_directory, split_pairs,
+    )
+    from fs_uae_image_enhancer_project_tpu.data.dataset import batch_transform
+    from fs_uae_image_enhancer_project_tpu.export.onnx_import import (
+        import_pix_shuffle,
+    )
+    from fs_uae_image_enhancer_project_tpu.losses.perceptual import (
+        build_criterion,
+    )
+    from fs_uae_image_enhancer_project_tpu.models import get_model
+    from fs_uae_image_enhancer_project_tpu.train.trainer import load_params
+
+    crop = tuple(args.crop_size)
+    pairs = gather_all_samples_from_directory(args.data, crop, verbose=1)
+    if not pairs:
+        print("no pairs found", file=sys.stderr)
+        return 1
+    _, val_pool = split_pairs(pairs, 0.1)  # seed=0: the study's exact split
+    print(f"held-out pool: {len(val_pool)} pairs", flush=True)
+
+    def run_row(model, params, label):
+        """Same eval as training_parity_study.evaluate: deterministic val
+        draws (seed=1, flips off), vgg-free criterion, sRGB PSNR."""
+        criterion = build_criterion(
+            dataclasses.replace(model.loss, vgg_weight=0.0)
+        )
+        to_float = batch_transform(model.linear_io)
+
+        @jax.jit
+        def eval_step(p, lr_b, hr_b):
+            lr_b, hr_b = to_float(lr_b), to_float(hr_b)
+            y = model.apply(p, lr_b.astype(jnp.bfloat16)).astype(jnp.float32)
+            loss = criterion(y, hr_b)
+            ys = jnp.clip(y, 0, None) ** (1 / 2.2)
+            ts = jnp.clip(hr_b, 0, None) ** (1 / 2.2)
+            return loss, jnp.mean((ys - ts) ** 2)
+
+        va = SRDataset(val_pool, crop, args.num_samples,
+                       batch_size=args.batch_size, flips=False, seed=1,
+                       transfer_dtype="uint8")
+        losses, mses = [], []
+        t0 = time.perf_counter()
+        for lr_b, hr_b in iter(va):
+            l, e = eval_step(params, jnp.asarray(lr_b), jnp.asarray(hr_b))
+            losses.append(float(l))
+            mses.append(float(e))
+        dt = time.perf_counter() - t0
+        mse = float(np.mean(mses))
+        row = {
+            "label": label,
+            "pixel_loss_vggfree": float(np.mean(losses)),
+            "srgb_psnr_db": float(10 * np.log10(1.0 / mse)) if mse > 0 else 99.0,
+            "batches": len(mses),
+            "eval_s": round(dt, 1),
+        }
+        print(json.dumps(row), flush=True)
+        return row
+
+    rows = []
+
+    # 1. reference shipped weights (its deployed pix_shuffle graph)
+    imported = import_pix_shuffle(REF_ONNX)
+    base = get_model("pix_shuffle")
+    rows.append(run_row(base, imported.params,
+                        "reference shipped pix_shuffle.onnx"))
+
+    # 2. this framework's 50-epoch plateau checkpoint (same topology)
+    ck = os.path.join("artifacts", "training_parity", "plateau_full",
+                      "checkpoint_best_pix_shuffle")
+    params = load_params(ck, base.init(jax.random.key(0)))
+    rows.append(run_row(base, params,
+                        "trained here: pix_shuffle plateau-50"))
+
+    # 3. this framework's pix_shuffle_heavy (larger TPU-friendly variant)
+    heavy = get_model("pix_shuffle", "heavy")
+    ck_h = "/root/work/train_psh/checkpoint_best_pix_shuffle"
+    if os.path.isdir(ck_h):
+        params_h = load_params(ck_h, heavy.init(jax.random.key(0)))
+        rows.append(run_row(heavy, params_h,
+                            "trained here: pix_shuffle_heavy"))
+    else:
+        print(f"skip heavy row ({ck_h} absent)", flush=True)
+
+    report = {
+        "date": time.strftime("%Y-%m-%d"),
+        "harness": "scripts/eval_headtohead.py",
+        "data": args.data,
+        "held_out_pairs": len(val_pool),
+        "num_samples": args.num_samples,
+        "protocol": ("training_parity_study val pipeline: split_pairs(seed=0) "
+                     "10% pool, SRDataset(seed=1, flips=False) deterministic "
+                     "draws, vgg-free pixel criterion, sRGB PSNR"),
+        "caveats": [
+            "shipped weights never saw this corpus; trained rows saw its "
+            "other 90% — this measures in-domain retraining value",
+            "the held-out pool doubled as the trained rows' early-stopping "
+            "validation set (selection only, never trained on)",
+        ],
+        "rows": rows,
+    }
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=1)
+    print("wrote", args.out, flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
