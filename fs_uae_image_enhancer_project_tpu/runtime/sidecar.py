@@ -179,6 +179,9 @@ class SidecarServer:
 
                 t = threading.Thread(target=session, daemon=True)
                 t.start()
+                # keep only live sessions (a long-lived server accepts many
+                # reconnects; finished threads must not accumulate)
+                threads = [x for x in threads if x.is_alive()]
                 threads.append(t)
         finally:
             self._request_shutdown()
