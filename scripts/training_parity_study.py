@@ -215,8 +215,16 @@ def main() -> int:
                   flush=True)
 
     if "plateau" not in args.skip:
-        # (b) full-criterion run to plateau
-        ck_c, bv_c, be_c = run("plateau_full", base, args.plateau_epochs)
+        # (b) full-criterion run to plateau. The VGG features are pinned to
+        # the RANDOM basis explicitly: the committed 50-epoch run trained
+        # under the random fallback (the self-trained asset did not exist
+        # yet), and init_vgg16's default would now silently swap the
+        # criterion to the asset on any rerun/resume — a resumed epoch 51
+        # measured train loss 0.031 -> 0.066 from exactly that swap.
+        from fs_uae_image_enhancer_project_tpu.losses import vgg as vgg_mod
+
+        ck_c, bv_c, be_c = run("plateau_full", base, args.plateau_epochs,
+                               vgg_params=vgg_mod._random_init())
         summary["plateau"] = {
             "epochs": args.plateau_epochs, "best_val": bv_c,
             "best_epoch": be_c,
