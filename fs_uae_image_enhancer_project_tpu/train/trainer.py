@@ -112,8 +112,17 @@ def load_params(path: str, params_template):
     import orbax.checkpoint as ocp
 
     ckptr = ocp.StandardCheckpointer()
-    # restore without a target (raw saved tree), then take the params subtree
-    restored = ckptr.restore(os.path.abspath(path))
+    # Restore the raw saved tree (opt_state structure is run-dependent, so no
+    # full-state template exists here), but rebuild each leaf as an abstract
+    # array placed on a LOCAL device: a targetless restore would replay the
+    # sharding metadata saved with the checkpoint, which fails when the
+    # checkpoint was written on another platform (TPU-trained -> CPU export).
+    sharding = jax.sharding.SingleDeviceSharding(jax.local_devices()[0])
+    abstract = jax.tree.map(
+        lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype, sharding=sharding),
+        ckptr.metadata(os.path.abspath(path)).item_metadata,
+    )
+    restored = ckptr.restore(os.path.abspath(path), target=abstract)
     params = restored["params"]
     # BN models (conv3/conv5) are saved split: running stats live in the
     # 'buffers' subtree (save_checkpoint above). A full-model template (from

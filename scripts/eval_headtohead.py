@@ -132,6 +132,13 @@ def main() -> int:
     rows.append(run_row(base, params,
                         "trained here: pix_shuffle plateau-50"))
 
+    # 2b. the long fresh run (scripts/train_psh_long.py), when present
+    ck_l = "/root/work/train_psh_long/checkpoint_best_pix_shuffle"
+    if os.path.isdir(ck_l):
+        params_l = load_params(ck_l, base.init(jax.random.key(0)))
+        rows.append(run_row(base, params_l,
+                            "trained here: pix_shuffle long-120"))
+
     # 3. this framework's pix_shuffle_heavy (larger TPU-friendly variant)
     heavy = get_model("pix_shuffle", "heavy")
     ck_h = "/root/work/train_psh/checkpoint_best_pix_shuffle"
