@@ -37,14 +37,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 REF_ONNX = "/root/reference/model/model_pix_shuffle/pix_shuffle.onnx"
 
 
-def main() -> int:
+def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--data", default="/root/work/dataset_lores/train")
     ap.add_argument("--crop_size", type=int, nargs=2, default=[376, 288])
     ap.add_argument("--num_samples", type=int, default=1024)
     ap.add_argument("--batch_size", type=int, default=8)
     ap.add_argument("--out", default="artifacts/headtohead_r4.json")
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
 
     from fs_uae_image_enhancer_project_tpu.utils.compile_cache import (
         enable_persistent_cache,
