@@ -169,19 +169,26 @@ def run_styled_jobs_batched(
                 method, bayer = method_bayer
                 arrs, pix_grid, pal_host, batch_items = [], [], [], []
                 for sk, combo_d, out_path in items:
-                    arr = pre_styled(sk, resolution)
-                    pixels = grid_quantize(arr, colorspace).reshape(-1, 3)
-                    uniq = np.unique(pixels, axis=0)
-                    if min(palette, len(uniq)) < palette:
-                        # degenerate: reference semantics take the unique
-                        # colours (or a sub-k palette) — scalar path
-                        scalar_items.append((sk, combo_d, out_path))
+                    # per-item staging failures report like the per-crop
+                    # path (save_styled_worker) instead of aborting the
+                    # whole styled phase
+                    try:
+                        arr = pre_styled(sk, resolution)
+                        pixels = grid_quantize(arr, colorspace).reshape(-1, 3)
+                        uniq = np.unique(pixels, axis=0)
+                        if min(palette, len(uniq)) < palette:
+                            # degenerate: reference semantics take the unique
+                            # colours (or a sub-k palette) — scalar path
+                            scalar_items.append((sk, combo_d, out_path))
+                            continue
+                        if palette_algorithm != "kmeans_jax":
+                            pal_host.append(
+                                _host_palette(pixels, arr, palette,
+                                              palette_algorithm)
+                            )
+                    except Exception as e:
+                        report(out_path, f"{type(e).__name__}: {e}")
                         continue
-                    if palette_algorithm != "kmeans_jax":
-                        pal_host.append(
-                            _host_palette(pixels, arr, palette,
-                                          palette_algorithm)
-                        )
                     arrs.append(arr)
                     pix_grid.append(pixels)
                     batch_items.append((sk, combo_d, out_path))

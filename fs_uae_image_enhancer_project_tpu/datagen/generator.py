@@ -436,24 +436,9 @@ class DatasetGenerator:
         total = len(target_jobs) + len(styled_jobs)
         t0 = time.time()
 
-        def drain(futures):
-            nonlocal done, errors
-            for fut in as_completed(futures):
-                path, err = fut.result()
-                done += 1
-                if err is not None:
-                    errors += 1
-                    self._log(1, f"ERROR {path}: {err}")
-                if done % 50 == 0 or done == total:
-                    rate = done / max(time.time() - t0, 1e-9)
-                    eta = (total - done) / max(rate, 1e-9)
-                    self._log(1, f"  {done}/{total} ({rate:.1f}/s, ETA {eta:.0f}s)")
-                if _stop_requested:
-                    for f in futures:
-                        f.cancel()
-                    break
-
         def report(path, err):
+            # the single done/errors/rate/ETA bookkeeping point for every
+            # execution path (pool, inline per-crop, batched device)
             nonlocal done, errors
             done += 1
             if err is not None:
@@ -463,6 +448,14 @@ class DatasetGenerator:
                 rate = done / max(time.time() - t0, 1e-9)
                 eta = (total - done) / max(rate, 1e-9)
                 self._log(1, f"  {done}/{total} ({rate:.1f}/s, ETA {eta:.0f}s)")
+
+        def drain(futures):
+            for fut in as_completed(futures):
+                report(*fut.result())
+                if _stop_requested:
+                    for f in futures:
+                        f.cancel()
+                    break
 
         batched_styled = cfg.quantize_backend == "pallas" and cfg.device_batch > 0
 

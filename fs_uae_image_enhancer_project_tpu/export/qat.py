@@ -156,10 +156,13 @@ def apply_fused_fakequant(
         p = params[name]
         t = fq_act(t, act_scales[name])
         w = fq_weight(p["w"].astype(t.dtype))
+        # no preferred_element_type here: this graph is differentiated
+        # (CLAUDE.md — a preferred dtype differing from the input dtype
+        # breaks the conv transpose rule); accumulation follows t.dtype,
+        # which the QAT study runs as fp32
         y = jax.lax.conv_general_dilated(
             t, w, (1, 1), "SAME", dimension_numbers=DIMENSION_NUMBERS,
             precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
         ).astype(t.dtype)
         if "b" in p:
             y = y + p["b"].astype(t.dtype)

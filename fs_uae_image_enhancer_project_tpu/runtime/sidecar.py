@@ -309,18 +309,42 @@ class SidecarClient:
 
 
 def build_enhance_fn(model: str = "pix_shuffle", weights: Optional[str] = None):
-    """Resolve the enhance fn the way bench.py does: shipped reference ONNX
-    graph when present (the parity truth), else fresh-weights default."""
+    """Resolve the enhance fn the way bench.py does: a trained ONNX graph —
+    the reference's shipped one when present (the parity truth), else this
+    repo's exported artifact for the family.
+
+    A server silently serving random weights is worse than one that refuses
+    to start, so unresolvable models/weights raise instead of falling back;
+    ``weights='fresh'`` opts into the fresh-init pix_shuffle explicitly
+    (CI/smoke use).
+    """
     from ..export.enhance import default_enhance_fn, enhance_from_onnx
 
+    if weights == "fresh":
+        fn, _ = default_enhance_fn(donate=False)
+        return fn
     if weights is None:
-        ref = f"/root/reference/model/model_{model}/{model}.onnx"
-        if os.path.exists(ref):
-            weights = ref
-    if weights and weights.endswith(".onnx"):
-        return enhance_from_onnx(weights, donate=False)
-    fn, _ = default_enhance_fn(donate=False)
-    return fn
+        candidates = [
+            f"/root/reference/model/model_{model}/{model}.onnx",
+            os.path.join(
+                os.path.dirname(os.path.dirname(os.path.dirname(
+                    os.path.abspath(__file__)))),
+                "artifacts", f"model_{model}", f"{model}.onnx",
+            ),
+        ]
+        weights = next((c for c in candidates if os.path.exists(c)), None)
+        if weights is None:
+            raise FileNotFoundError(
+                f"no trained ONNX graph found for model {model!r} "
+                f"(looked at {candidates}); pass --weights <graph.onnx>, "
+                "or --weights fresh for an untrained smoke server"
+            )
+    if not (weights.endswith(".onnx") and os.path.exists(weights)):
+        raise ValueError(
+            f"--weights must be an existing .onnx graph or 'fresh', "
+            f"got {weights!r}"
+        )
+    return enhance_from_onnx(weights, donate=False)
 
 
 def main(argv=None) -> int:

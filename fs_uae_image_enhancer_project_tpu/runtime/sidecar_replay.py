@@ -65,20 +65,25 @@ def main(argv=None) -> int:
     outputs = {}
     lat_ms = []
     t_start = time.perf_counter()
+    n_submitted = 0
+    # responses arrive in submit order (delayed by `depth`); with --loops > 1
+    # a name repeats, so pair responses with names positionally, not by a
+    # len(outputs) counter (later loops overwrite the same key)
     submitted = []
     for loop in range(args.loops):
         for name, frame in zip(names, frames):
             t0 = time.perf_counter()
             out = client.submit(frame)
             lat_ms.append((time.perf_counter() - t0) * 1e3)
+            n_submitted += 1
             submitted.append(name)
             if out is not None:
-                outputs[submitted[len(outputs)]] = out
+                outputs[submitted.pop(0)] = out
     for out in client.drain():
-        outputs[submitted[len(outputs)]] = out
+        outputs[submitted.pop(0)] = out
     wall = time.perf_counter() - t_start
 
-    n = len(submitted)
+    n = n_submitted
     stats = {
         "frames": n,
         "fps_end_to_end": round(n / wall, 2),

@@ -79,12 +79,21 @@ fse_client *fse_connect(const char *socket_path) {
         return NULL;
     }
     fse_client *c = (fse_client *)calloc(1, sizeof(fse_client));
+    if (!c) {
+        close(fd);
+        return NULL;
+    }
     c->fd = fd;
     c->depth = hs[5];
     c->height = (uint16_t)(hs[6] | (hs[7] << 8));
     c->width = (uint16_t)(hs[8] | (hs[9] << 8));
     c->frame_bytes = (size_t)c->height * c->width * 4;
     c->recv_buf = (uint8_t *)malloc(c->frame_bytes);
+    if (!c->recv_buf) {
+        close(fd);
+        free(c);
+        return NULL;
+    }
     return c;
 }
 
@@ -140,6 +149,19 @@ void fse_close(fse_client *c) {
 #ifdef FSE_REPLAY_MAIN
 /* Replay tool: send one raw RGBA capture through the sidecar `loops` times,
  * write the last enhanced frame, print latency stats. */
+typedef struct {
+    uint8_t *dst;
+    size_t n;
+    int *got;
+} keep_ctx;
+
+/* drained frames are enhanced output too — keep the last one */
+static void keep_cb(const uint8_t *frame, void *ud) {
+    keep_ctx *k = (keep_ctx *)ud;
+    memcpy(k->dst, frame, k->n);
+    (*k->got)++;
+}
+
 int main(int argc, char **argv) {
     if (argc < 4) {
         fprintf(stderr,
@@ -154,10 +176,15 @@ int main(int argc, char **argv) {
     }
     uint8_t *in = (uint8_t *)malloc(c->frame_bytes);
     uint8_t *last = (uint8_t *)malloc(c->frame_bytes);
+    if (!in || !last) {
+        fprintf(stderr, "out of memory\n");
+        return 1;
+    }
     FILE *f = fopen(argv[2], "rb");
     if (!f || fread(in, 1, c->frame_bytes, f) != c->frame_bytes) {
         fprintf(stderr, "raw_in must be %zu bytes (%ux%u RGBA)\n",
                 c->frame_bytes, c->width, c->height);
+        if (f) fclose(f);
         return 1;
     }
     fclose(f);
@@ -172,7 +199,8 @@ int main(int argc, char **argv) {
             got++;
         }
     }
-    fse_drain(c, NULL, NULL);
+    keep_ctx k = {last, c->frame_bytes, &got};
+    fse_drain(c, keep_cb, &k);
     clock_gettime(CLOCK_MONOTONIC, &t1);
     double ms = (t1.tv_sec - t0.tv_sec) * 1e3 + (t1.tv_nsec - t0.tv_nsec) / 1e6;
     printf("{\"frames\": %d, \"ms_per_frame\": %.3f, \"fps\": %.1f, "
@@ -180,6 +208,11 @@ int main(int argc, char **argv) {
            loops, ms / loops, loops * 1e3 / ms, c->depth);
 
     f = fopen(argv[3], "wb");
+    if (!f) {
+        fprintf(stderr, "cannot open raw_out: %s\n", argv[3]);
+        fse_close(c);
+        return 1;
+    }
     fwrite(got ? last : in, 1, c->frame_bytes, f);
     fclose(f);
     fse_close(c);

@@ -49,20 +49,15 @@ def start_server(sock: str, depth: int, max_clients: int) -> subprocess.Popen:
         env=env, cwd=REPO, stdout=subprocess.PIPE,
         stderr=subprocess.STDOUT, text=True,
     )
-    deadline = time.time() + 900  # tunnel first-execution lottery
-    lines = []
-    while time.time() < deadline:
-        line = proc.stdout.readline()
-        if not line:
-            break
-        lines.append(line)
-        if "SIDECAR_READY" in line:
-            # drain server stdout in the background so it never blocks on a
-            # full pipe while we measure
-            threading.Thread(
-                target=lambda: [None for _ in proc.stdout], daemon=True
-            ).start()
-            return proc
+    from fs_uae_image_enhancer_project_tpu.utils.subproc import wait_for_line
+
+    # deadline-safe: a silent warmup stall cannot block past the timeout
+    # (the pump thread keeps draining stdout after readiness, so the server
+    # never blocks on a full pipe while we measure)
+    ok, lines = wait_for_line(proc, "SIDECAR_READY",
+                              timeout=900)  # tunnel first-execution lottery
+    if ok:
+        return proc
     proc.kill()
     raise RuntimeError("server never ready:\n" + "".join(lines))
 

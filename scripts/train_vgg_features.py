@@ -141,6 +141,9 @@ def main() -> int:
 
     log = open(os.path.join(args.work, "train_log.jsonl"), "a")
     t0 = time.time()
+    # a --resume run already at/past --steps skips the loop entirely (asset
+    # regeneration only) — vl must still exist for the meta dict below
+    vl = None
     for step in range(start, args.steps):
         x_u8 = jnp.asarray(sampler.batch(args.batch_size))
         opt_state, enc, dec, loss = step_fn(opt_state, enc, dec, prep(x_u8))

@@ -33,17 +33,11 @@ def server():
         env=env, cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
         text=True,
     )
-    deadline = time.time() + 300
-    ready = False
-    lines = []
-    while time.time() < deadline:
-        line = proc.stdout.readline()
-        if not line:
-            break
-        lines.append(line)
-        if "SIDECAR_READY" in line:
-            ready = True
-            break
+    from fs_uae_image_enhancer_project_tpu.utils.subproc import wait_for_line
+
+    # deadline-safe wait: readline() alone would block past the deadline if
+    # the server stalls silently before its first log line
+    ready, lines = wait_for_line(proc, "SIDECAR_READY", timeout=300)
     if not ready:
         proc.kill()
         pytest.fail(f"server never became ready:\n{''.join(lines)}")
@@ -285,3 +279,30 @@ def test_reconnect_after_disconnect():
     c2.shutdown_server()
     c2.close()
     thread.join(timeout=30)
+
+
+def test_python_replay_loops_output_mapping(tmp_path):
+    """sidecar_replay --loops 2: every saved PNG must hold the enhancement
+    of the SAME-named input (regression: responses used to be keyed by a
+    len(outputs) counter, which mis-labels every frame once a name repeats)."""
+    from fs_uae_image_enhancer_project_tpu.runtime import sidecar_replay
+    from PIL import Image
+
+    frames_dir = tmp_path / "frames"
+    out_dir = tmp_path / "out"
+    frames_dir.mkdir()
+    frames = _frames(4, seed=77)
+    for i, f in enumerate(frames):
+        Image.fromarray(f, mode="RGBA").save(frames_dir / f"s{i}.png")
+
+    sock, thread, _ = _inprocess_server(2)
+    rc = sidecar_replay.main([
+        "--socket", sock, "--frames", str(frames_dir),
+        "--out", str(out_dir), "--loops", "2", "--shutdown",
+    ])
+    assert rc == 0
+    for i, f in enumerate(frames):
+        saved = np.asarray(Image.open(out_dir / f"s{i}.png"))
+        np.testing.assert_array_equal(saved[..., :3], 255 - f[..., :3])
+    thread.join(timeout=30)
+    assert not thread.is_alive()
