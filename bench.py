@@ -53,7 +53,40 @@ def _ensure_backend() -> None:
         os.execv(sys.executable, [sys.executable, os.path.abspath(__file__)])
 
 
+def _arm_watchdog() -> None:
+    """Fail deterministically instead of hanging when the tunnel wedges.
+
+    The wedge mode this guards against: backend registration succeeds
+    (jax.devices() lists the chip) but the server never grants the execution
+    claim, so the FIRST device execution blocks forever (observed 2026-08-17:
+    probes hung >1.5 h in nanosleep retry). The documented first-execution
+    lottery tops out at 517.8 s (docs/DEPLOYMENT.md), so a 2400 s deadline
+    cannot clip an honest cold start. BENCH_WATCHDOG_S=0 disables.
+    """
+    import threading
+
+    limit = float(os.environ.get("BENCH_WATCHDOG_S", "2400"))
+    if limit <= 0:
+        return
+
+    def fire():
+        time.sleep(limit)
+        print(f"# bench watchdog: no result after {limit:.0f}s "
+              "(wedged tunnel?); aborting", file=sys.stderr)
+        os._exit(17)
+
+    threading.Thread(target=fire, daemon=True).start()
+
+
 def main() -> None:
+    # watchdog first: the wedge can bite during backend init itself (the
+    # xla_bridge warning prints, then jax.devices() never returns)
+    _arm_watchdog()
+    from fs_uae_image_enhancer_project_tpu.utils.platform import (
+        honor_jax_platforms_env,
+    )
+
+    honor_jax_platforms_env()
     _ensure_backend()
     import jax
     import jax.numpy as jnp
