@@ -38,6 +38,11 @@ REF_ONNX = "/root/reference/model/model_pix_shuffle/pix_shuffle.onnx"
 
 
 def main(argv=None) -> int:
+    from fs_uae_image_enhancer_project_tpu.utils.platform import (
+        honor_jax_platforms_env,
+    )
+
+    honor_jax_platforms_env()  # CLI convention: JAX_PLATFORMS binds
     ap = argparse.ArgumentParser()
     ap.add_argument("--data", default="/root/work/dataset_lores/train")
     ap.add_argument("--crop_size", type=int, nargs=2, default=[376, 288])

@@ -23,6 +23,11 @@ DEFAULT_ONNX = "/root/reference/model/model_pix_shuffle/pix_shuffle.onnx"
 
 
 def main() -> int:
+    from fs_uae_image_enhancer_project_tpu.utils.platform import (
+        honor_jax_platforms_env,
+    )
+
+    honor_jax_platforms_env()  # CLI convention: JAX_PLATFORMS binds
     ap = argparse.ArgumentParser()
     ap.add_argument("--onnx", default=DEFAULT_ONNX if os.path.exists(DEFAULT_ONNX)
                     else None, help="weights artifact; random-init if absent")

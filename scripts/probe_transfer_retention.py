@@ -29,6 +29,11 @@ def rss_gb() -> float:
 
 
 def main() -> int:
+    from fs_uae_image_enhancer_project_tpu.utils.platform import (
+        honor_jax_platforms_env,
+    )
+
+    honor_jax_platforms_env()  # CLI convention: JAX_PLATFORMS binds
     ap = argparse.ArgumentParser()
     ap.add_argument("--mb", type=float, default=8.0, help="array size, MB")
     ap.add_argument("--n", type=int, default=200, help="number of puts")

@@ -22,6 +22,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:
+    from fs_uae_image_enhancer_project_tpu.utils.platform import (
+        honor_jax_platforms_env,
+    )
+
+    honor_jax_platforms_env()  # CLI convention: JAX_PLATFORMS binds
     ap = argparse.ArgumentParser()
     ap.add_argument("--data", default="/root/work/dataset_lores/train")
     ap.add_argument("--out", default="/root/work/train_psh_long")

@@ -65,6 +65,11 @@ class PatchSampler:
 
 
 def main() -> int:
+    from fs_uae_image_enhancer_project_tpu.utils.platform import (
+        honor_jax_platforms_env,
+    )
+
+    honor_jax_platforms_env()  # CLI convention: JAX_PLATFORMS binds
     ap = argparse.ArgumentParser()
     ap.add_argument("--data", default="/root/work/dataset_lores/train")
     ap.add_argument("--gt", default="/root/work/gt_frames")

@@ -38,6 +38,11 @@ OUT = os.path.join(
 
 
 def main() -> int:
+    from fs_uae_image_enhancer_project_tpu.utils.platform import (
+        honor_jax_platforms_env,
+    )
+
+    honor_jax_platforms_env()  # CLI convention: JAX_PLATFORMS binds
     ap = argparse.ArgumentParser()
     ap.add_argument("--data", required=True)
     ap.add_argument("--crop_size", type=int, nargs=2, default=[376, 288])
