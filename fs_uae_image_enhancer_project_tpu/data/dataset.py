@@ -40,8 +40,9 @@ def gather_all_samples_from_directory(
 ) -> List[Pair]:
     """Collect all (styled_path, target_path) pairs under a generator split.
 
-    Grouping key: (subdirectory name, crop_x, crop_y, s<scale>, r<rot>)
-    (srdataset.py:177-183). Styled files whose style_name contains any of
+    Grouping key: (subdirectory relpath, crop_x, crop_y, s<scale>, r<rot>)
+    (srdataset.py:177-183 uses the basename; relpath additionally keeps
+    same-named scene dirs in different subtrees apart). Styled files whose style_name contains any of
     ``styles_to_include`` substrings pass the filter (srdataset.py:209-213).
     Target image sizes are validated against ``expected_crop_size`` (W, H).
     """
@@ -55,7 +56,13 @@ def gather_all_samples_from_directory(
     for root, _dirs, files in os.walk(directory_path):
         if os.path.abspath(root) == root_abs:
             continue  # files live in per-image subdirectories
-        dirname = os.path.basename(root)
+        # relative path, not basename: two same-named scene dirs in
+        # different subtrees (e.g. train/sceneA and val/sceneA when pointed
+        # at a common root) must NOT merge into one group — that would pair
+        # styled files with the other location's target. For the standard
+        # one-level split layout relpath == basename, so existing corpora
+        # and the committed split draws are unchanged.
+        dirname = os.path.relpath(root, root_abs)
         for filename in files:
             info = parse_generated_filename(filename)
             if info is None:
@@ -205,10 +212,19 @@ class SRDataset:
     def _load_planned(self, plan: Tuple[int, bool, bool]):
         idx, hflip, vflip = plan
         as_u8 = self.transfer_dtype == "uint8"
+        want = (self.crop_h, self.crop_w, 3)
         for _attempt in range(10):
             try:
-                return _load_pair(self.pool[idx], self.linear, hflip, vflip,
-                                  as_uint8=as_u8)
+                lr, hr = _load_pair(self.pool[idx], self.linear, hflip, vflip,
+                                    as_uint8=as_u8)
+                # the gatherer size-checks targets only; a wrong-size STYLED
+                # file (partial write, generator glitch) must hit the retry
+                # path here, not blow up np.stack mid-epoch
+                if lr.shape != want or hr.shape != want:
+                    raise ValueError(
+                        f"pair shape {lr.shape}/{hr.shape}, expected {want}"
+                    )
+                return lr, hr
             except Exception as e:  # retry with a deterministic fallback draw
                 warnings.warn(f"Error loading {self.pool[idx]}: {e}. Retrying.")
                 idx = (idx + 1) % len(self.pool)
@@ -260,27 +276,53 @@ def device_prefetch(iterator, size: int = 2, sharding=None):
     q: "queue.Queue" = queue.Queue(maxsize=size)
     END = object()
     error: list = []
+    stop = threading.Event()
 
     def put(batch):
         if sharding is not None:
             return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
         return jax.tree.map(jax.device_put, batch)
 
+    def q_put(item) -> bool:
+        """Bounded put that gives up when the consumer is gone — a producer
+        blocked forever on a full queue would pin size+1 device-committed
+        batches (HBM + ~1 GB host RSS per GB through the tunnel) and the
+        SRDataset thread pool for the process lifetime."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=1.0)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def producer():
         try:
             for batch in iterator:
-                q.put(put(batch))
+                if not q_put(put(batch)):
+                    return  # consumer abandoned the generator
         except BaseException as e:  # surface in the consumer, don't truncate
             error.append(e)
         finally:
-            q.put(END)
+            q_put(END)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is END:
-            if error:
-                raise error[0]
-            break
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is END:
+                if error:
+                    raise error[0]
+                break
+            yield item
+    finally:
+        # early exit (exception in the train loop, generator GC'd):
+        # unblock and retire the producer, drop any in-flight batches
+        stop.set()
+        while True:
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break
+        t.join(timeout=30)

@@ -5,6 +5,18 @@ Counterpart of the reference's ``model_performance_cache.json``
 studies reuse the measured FPS instead of re-running the 20-second protocol;
 failed measurements are stored as 0.0 so broken configs are not re-measured
 (optuna_study_opt_act.py:196-198).
+
+Two deviations from the reference, both because this environment has more
+ways to measure the same architecture:
+
+- Keys embed the active jax backend (``__backend__``), so a CPU smoke run
+  (``JAX_PLATFORMS=cpu``) cannot seed ~1 fps numbers that a later TPU study
+  in the same cwd would silently reuse, and vice versa.
+- ``FSE_FPS_CACHE_RETRY_FAILED=1`` makes remembered failures (0.0)
+  re-measurable: the reference's "broken config" assumption conflates
+  deterministic config failures with this environment's transient tunnel
+  failures (wedge/iowait, docs/DEPLOYMENT.md "Cold start"), which would
+  otherwise poison an architecture forever.
 """
 from __future__ import annotations
 
@@ -12,6 +24,15 @@ import json
 import os
 import threading
 from typing import Any, Callable, Dict, Optional
+
+
+def _current_backend() -> str:
+    try:
+        import jax
+
+        return jax.default_backend()
+    except Exception:
+        return "none"
 
 
 class FPSCache:
@@ -27,12 +48,20 @@ class FPSCache:
                 self._data = {}
 
     @staticmethod
-    def make_key(arch_params: Dict[str, Any]) -> str:
-        """Canonical sorted-JSON key (optuna_study_opt_act.py:16-39)."""
-        return json.dumps(arch_params, sort_keys=True, default=str)
+    def make_key(arch_params: Dict[str, Any],
+                 backend: Optional[str] = None) -> str:
+        """Canonical sorted-JSON key (optuna_study_opt_act.py:16-39),
+        prefixed with the measuring backend."""
+        backend = backend or _current_backend()
+        return json.dumps({"__backend__": backend, **arch_params},
+                          sort_keys=True, default=str)
 
     def get(self, arch_params: Dict[str, Any]) -> Optional[float]:
-        return self._data.get(self.make_key(arch_params))
+        val = self._data.get(self.make_key(arch_params))
+        if (val == 0.0
+                and os.environ.get("FSE_FPS_CACHE_RETRY_FAILED") == "1"):
+            return None  # remembered failure, but the caller wants a retry
+        return val
 
     def put(self, arch_params: Dict[str, Any], fps: float) -> None:
         with self._lock:

@@ -17,11 +17,13 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description="Prune failed/non-finite trials")
     ap.add_argument("--storage", default="tuning_results/studies.sqlite")
     ap.add_argument("--study", required=True)
-    ap.add_argument("--keep_pruned", action="store_true",
-                    help="keep PRUNED trials (default keeps them anyway)")
+    ap.add_argument("--delete_pruned", action="store_true",
+                    help="also delete PRUNED trials (default: FAIL and "
+                         "non-finite only, matching the reference's cleanup)")
     args = ap.parse_args(argv)
     study = Study(args.study, args.storage)
-    n = study.delete_trials()
+    states = ("FAIL", "PRUNED") if args.delete_pruned else ("FAIL",)
+    n = study.delete_trials(states=states)
     print(f"deleted {n} failed/non-finite trials from '{args.study}'")
     print(f"{len(study.trials)} trials remain; best value: {study.best_value}")
     return 0

@@ -224,6 +224,7 @@ class Study:
         self.sampler = sampler or TPESampler(seed=seed)
         self.pruner = pruner or MedianPruner()
         self.path = storage
+        self._trials_cache: Optional[List[FrozenTrial]] = None
         os.makedirs(os.path.dirname(os.path.abspath(storage)), exist_ok=True)
         self._db = sqlite3.connect(storage)
         self._db.execute(
@@ -237,6 +238,20 @@ class Study:
     # -- persistence ---------------------------------------------------------
     @property
     def trials(self) -> List[FrozenTrial]:
+        """All recorded trials (cached: suggest_*/should_prune hit this once
+        per call, and re-parsing every prior trial's JSON each time is
+        quadratic in trial count). The cache assumes this process is the
+        study's only writer — _record/delete_trials invalidate it; a
+        concurrent writer in another process would need refresh()."""
+        if self._trials_cache is None:
+            self._trials_cache = self._load_trials()
+        return self._trials_cache
+
+    def refresh(self) -> None:
+        """Drop the trials cache (re-read from SQLite on next access)."""
+        self._trials_cache = None
+
+    def _load_trials(self) -> List[FrozenTrial]:
         rows = self._db.execute(
             "SELECT number, state, value, params, intermediate FROM trials "
             "WHERE study = ? ORDER BY number",
@@ -261,6 +276,7 @@ class Study:
             ),
         )
         self._db.commit()
+        self._trials_cache = None
 
     def delete_trials(self, states=("FAIL",), non_finite: bool = True) -> int:
         """Remove failed/non-finite trials — counterpart of the reference's
@@ -278,6 +294,7 @@ class Study:
                 )
                 n += 1
         self._db.commit()
+        self._trials_cache = None
         return n
 
     # -- optimization ----------------------------------------------------------
@@ -322,11 +339,19 @@ class Study:
             except catch as e:
                 self._record(trial, FAIL, None)
                 if verbose:
+                    # full traceback, not a one-liner: an unattended study
+                    # whose every trial FAILs on a systematic objective bug
+                    # must leave a diagnosable record (callers check
+                    # best_trial for the all-failed case — studies.main
+                    # exits nonzero on it)
+                    import traceback
+
                     print(
                         f"[{self.study_name}] trial {trial.number} FAIL "
                         f"{type(e).__name__}: {e}",
                         flush=True,
                     )
+                    traceback.print_exc()
 
 
 def create_study(

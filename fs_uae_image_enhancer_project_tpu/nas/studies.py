@@ -206,12 +206,17 @@ def make_objective(
                 train_pairs, crop_size, samples_per_epoch, batch_size=bs,
                 seed=trial.number * 100 + epoch, transfer_dtype="uint8",
             )
+            loss = None
             for lr_b, hr_b in ds:
                 state, loss = step(
                     state, jnp.asarray(lr_b)[None], jnp.asarray(hr_b)[None]
                 )
-                if not math.isfinite(float(loss)):
-                    return float("inf")
+            # NaN-abort check once per epoch, not per step: float(loss)
+            # blocks async dispatch on a full tunnel RTT (~150-350 ms), and
+            # a NaN reached mid-epoch persists in the loss value anyway
+            # (it propagates through every later step's params)
+            if loss is not None and not math.isfinite(float(loss)):
+                return float("inf")
             vds = SRDataset(
                 val_pairs or train_pairs, crop_size, max(bs, 16),
                 batch_size=bs, seed=1, flips=False, transfer_dtype="uint8",
@@ -304,7 +309,15 @@ def main(argv=None) -> int:
         print(f"best value {bt.value:.6g} with params:")
         for k, v in sorted(bt.params.items()):
             print(f"  {k} = {v}")
-    return 0
+        return 0
+    # optimize() converts objective exceptions into FAIL rows so an
+    # unattended hardware study survives transient trial failures — but a
+    # study that produced NO usable trial must not look like success
+    states = [t.state for t in study.trials]
+    print(f"ERROR: no completed trial in study {args.study!r} "
+          f"(states: { {s: states.count(s) for s in set(states)} }); "
+          "see FAIL tracebacks above", file=sys.stderr)
+    return 1
 
 
 if __name__ == "__main__":

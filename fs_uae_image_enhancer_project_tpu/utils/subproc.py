@@ -25,9 +25,13 @@ def wait_for_line(proc, token: str, timeout: float) -> Tuple[bool, List[str]]:
     draining stdout after return.
     """
     q: "queue.Queue" = queue.Queue()
+    satisfied = threading.Event()
 
     def pump():
         for line in proc.stdout:
+            if satisfied.is_set():
+                continue  # post-token lines are discarded, not queued
+                # (an hours-long chatty child must not grow parent RSS)
             q.put(line)
         q.put(None)
 
@@ -38,6 +42,7 @@ def wait_for_line(proc, token: str, timeout: float) -> Tuple[bool, List[str]]:
     while True:
         remaining = deadline - time.monotonic()
         if remaining <= 0:
+            satisfied.set()
             return False, lines
         try:
             line = q.get(timeout=min(remaining, 5.0))
@@ -47,4 +52,5 @@ def wait_for_line(proc, token: str, timeout: float) -> Tuple[bool, List[str]]:
             return False, lines
         lines.append(line)
         if token in line:
+            satisfied.set()
             return True, lines

@@ -1,5 +1,6 @@
 """Data layer tests: codec round trips, gathering, dataset iteration."""
 import os
+import time
 
 import numpy as np
 import pytest
@@ -181,3 +182,67 @@ def test_srdataset_uint8_transfer_matches_float_path(tmp_path):
     # float batches pass through batch_transform untouched
     lf0 = f32[0][0]
     np.testing.assert_array_equal(np.asarray(to_float(lf0)), lf0)
+
+
+def test_gather_same_named_subdirs_do_not_collide(tmp_path):
+    """Two scene dirs with the SAME basename in different subtrees (e.g.
+    train/sceneA and val/sceneA under a common root) must form separate
+    groups — grouping by basename alone pairs styled files with the other
+    location's target (regression)."""
+    from PIL import Image
+
+    rng = np.random.default_rng(1)
+    written = {}
+    for split in ("train", "val"):
+        d = os.path.join(str(tmp_path), split, "sceneA")
+        os.makedirs(d)
+        for name in ("target_0_0_s100_r0.png",
+                     "lores_0_0_s100_r0_rgb444_p32_dnone.png"):
+            arr = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(os.path.join(d, name))
+            written[(split, name.startswith("target"))] = os.path.join(d, name)
+
+    pairs = gather_all_samples_from_directory(str(tmp_path), (8, 8), verbose=0)
+    assert len(pairs) == 2
+    for styled_path, target_path in pairs:
+        # each styled file must pair with the target in ITS OWN directory
+        assert os.path.dirname(styled_path) == os.path.dirname(target_path)
+
+
+def test_srdataset_wrong_size_styled_file_retries(tmp_path):
+    """A styled file with off-size dimensions passes the gatherer (which
+    size-checks targets only) but must hit SRDataset's retry path instead
+    of crashing np.stack mid-epoch."""
+    from PIL import Image
+
+    train_dir = _make_tree(str(tmp_path))
+    pairs = gather_all_samples_from_directory(train_dir, (8, 8), verbose=0)
+    # corrupt one styled file to the wrong size
+    bad = pairs[0][0]
+    Image.fromarray(np.zeros((9, 8, 3), np.uint8)).save(bad)
+    ds = SRDataset(pairs, (8, 8), num_samples=8, batch_size=2, seed=0)
+    with pytest.warns(UserWarning, match="Retrying"):
+        batches = list(ds)
+    assert len(batches) == 4
+    for lr, hr in batches:
+        assert lr.shape == (2, 8, 8, 3) and hr.shape == (2, 8, 8, 3)
+
+
+def test_device_prefetch_producer_exits_on_early_consumer_exit(tmp_path):
+    """Abandoning the prefetch generator (exception in the train loop) must
+    retire the producer thread instead of leaving it blocked on q.put
+    holding device-committed batches."""
+    import threading
+
+    from fs_uae_image_enhancer_project_tpu.data.dataset import device_prefetch
+
+    n_before = threading.active_count()
+    batches = iter([(np.zeros((1, 4, 4, 3), np.float32),) * 2
+                    for _ in range(100)])
+    gen = device_prefetch(batches, size=2)
+    next(gen)
+    gen.close()  # early exit — train loop raised / generator GC'd
+    deadline = time.time() + 30
+    while threading.active_count() > n_before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= n_before

@@ -204,3 +204,48 @@ def test_pareto_plot_export(tmp_path):
     out = str(tmp_path / "pareto.png")
     plot_pareto(study, out)
     assert os.path.getsize(out) > 1000
+
+
+def test_fps_cache_backend_scoped_and_retry_env(tmp_path, monkeypatch):
+    """Keys embed the measuring backend (a CPU smoke must not seed numbers
+    a TPU study would reuse), and FSE_FPS_CACHE_RETRY_FAILED=1 re-measures
+    remembered failures (transient tunnel errors must not poison an
+    architecture forever)."""
+    cache = FPSCache(str(tmp_path / "fps.json"))
+    arch = {"ch": 36}
+    key_cpu = cache.make_key(arch, backend="cpu")
+    key_tpu = cache.make_key(arch, backend="tpu")
+    assert key_cpu != key_tpu
+    assert '"__backend__"' in key_cpu
+
+    # a remembered failure (0.0) is served by default ...
+    def boom():
+        raise RuntimeError("wedged tunnel")
+
+    assert cache.get_or_measure(arch, boom) == 0.0
+    assert cache.get_or_measure(arch, lambda: 77.0) == 0.0
+    # ... but the retry env makes it re-measurable
+    monkeypatch.setenv("FSE_FPS_CACHE_RETRY_FAILED", "1")
+    assert cache.get_or_measure(arch, lambda: 77.0) == 77.0
+    monkeypatch.delenv("FSE_FPS_CACHE_RETRY_FAILED")
+    assert cache.get_or_measure(arch, boom) == 77.0  # healthy value sticks
+
+
+def test_study_all_failed_exits_nonzero(tmp_path, monkeypatch):
+    """studies.main must exit nonzero when no trial completed (a fully
+    failed unattended run previously looked like success)."""
+    from fs_uae_image_enhancer_project_tpu.nas import studies
+
+    def broken_objective_factory(**_kw):
+        def objective(trial):
+            raise NameError("systematic objective bug")
+
+        return objective
+
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setattr(studies, "make_objective", broken_objective_factory)
+    rc = studies.main([
+        "--study", "opt_act", "--trials", "2",
+        "--storage", str(tmp_path / "s.sqlite"),
+    ])
+    assert rc == 1
