@@ -261,6 +261,25 @@ class DatasetGenerator:
         cfg = self.cfg
         specs: List[CropSpec] = []
         tasks = []
+        # output dirs are keyed by image_base (filename stem); two
+        # same-named source images in different subdirectories must not
+        # collide into one output dir (which would dict-overwrite one
+        # image's expected files with the other's — silent corruption).
+        # Disambiguate deterministically (path hash), so collision-free
+        # corpora keep plain stems and stay diff-idempotent.
+        import hashlib
+
+        base_of: Dict[tuple, str] = {}
+        for split, paths in images.items():
+            claimed: Dict[str, str] = {}  # base -> path that owns it
+            for p in sorted(paths):
+                stem = os.path.splitext(os.path.basename(p))[0]
+                base = stem
+                if claimed.get(base, p) != p:
+                    digest = hashlib.md5(p.encode()).hexdigest()[:8]
+                    base = f"{stem}_{digest}"
+                claimed[base] = p
+                base_of[(split, p)] = base
         for split, paths in images.items():
             for p in paths:
                 for rot in cfg.rotations:
@@ -284,7 +303,7 @@ class DatasetGenerator:
                     break
                 if cfg.max_crops_per_image is not None:
                     coords = coords[: cfg.max_crops_per_image]
-                base = os.path.splitext(os.path.basename(p))[0]
+                base = base_of[(split, p)]
                 for (x, y) in coords:
                     specs.append(CropSpec(split, p, base, x, y, ds, rot))
         self._log(1, f"scan: {len(specs)} valid crop locations")

@@ -143,11 +143,27 @@ def main(argv: Optional[list] = None) -> int:
         from .enhance import make_enhance_fn
         from .stablehlo import export_enhance
 
+        # mirror the ONNX artifact's per-family semantics exactly: fused
+        # weights + sRGB domain for the conv stacks, crop only for the
+        # families whose deployed graphs crop (pix_shuffle/unet) — a
+        # default-gamma, always-cropped wrapper silently diverges from the
+        # verified ONNX emitted above
+        srgb = base in ("conv3", "conv5")
+        if srgb:
+            from ..models.conv_stack import apply_fused
+
+            hlo_apply = lambda p, x: apply_fused(p, x, m.config)  # noqa: E731
+        else:
+            hlo_apply = m.apply
+        hlo_crop = (args.crop_left
+                    if args.model_type.startswith("pix_shuffle")
+                    or base == "residual_unet" else 0)
         enhance = make_enhance_fn(
-            m.apply, params, crop_left=args.crop_left, donate=False, jit=False
+            hlo_apply, export_params, crop_left=hlo_crop,
+            srgb_domain=srgb, donate=False, jit=False,
         )
         export_enhance(enhance, args.stablehlo)
-        print(f"wrote {args.stablehlo}")
+        print(f"wrote {args.stablehlo} (crop_left={hlo_crop}, srgb={srgb})")
     return 0
 
 

@@ -167,18 +167,9 @@ def _emit_pix_shuffle_body(
     b = em.b
     r = cfg.shuffle_factor
     identity = x
-    # PixelUnshuffle(2): reshape->transpose->reshape (torch export pattern)
-    shape1 = em.const(
-        "unshuffle_shape1",
-        np.array([n, cfg.in_channels, h // r, r, w // r, r], np.int64),
-    )
-    t = b.add_node("Reshape", [x, shape1])[0]
-    t = b.add_node("Transpose", [t], perm=[0, 1, 3, 5, 2, 4])[0]
-    shape2 = em.const(
-        "unshuffle_shape2",
-        np.array([n, cfg.in_channels * r * r, h // r, w // r], np.int64),
-    )
-    t = b.add_node("Reshape", [t, shape2])[0]
+    # PixelUnshuffle(2) — shared emitter; tag 'unshuffle' keeps the exact
+    # initializer names this body always used (byte-stable artifacts)
+    t = _emit_pixel_unshuffle(em, x, "unshuffle", n, cfg.in_channels, h, w, r)
 
     t = _emit_conv7_chain(em, cfg.layers, t)
     # PixelShuffle(2) == DepthToSpace mode=CRD

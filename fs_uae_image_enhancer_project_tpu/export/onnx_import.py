@@ -86,9 +86,13 @@ def _bind_prelu_slopes(model: Model) -> Dict[str, np.ndarray]:
     return slopes
 
 
-def import_pix_shuffle(path: str) -> ImportedModel:
-    """Load a shipped pix_shuffle ONNX into a pix_shuffle param pytree."""
-    model = load_model(path)
+def import_pix_shuffle(path: str, model=None) -> ImportedModel:
+    """Load a shipped pix_shuffle ONNX into a pix_shuffle param pytree.
+
+    ``model`` (optional) skips re-parsing when the caller already decoded
+    the file (import_any).
+    """
+    model = model if model is not None else load_model(path)
     inits = model.graph.initializers
     params: Params = {}
     n_convs = 0
@@ -153,9 +157,13 @@ def _gamma_exponents(model: Model):
     return float(s2l.to_numpy()), float(l2s.to_numpy())
 
 
-def import_conv_stack(path: str) -> ImportedModel:
-    """Load a shipped conv3/conv5 ONNX (fused conv+BN) into fused params."""
-    model = load_model(path)
+def import_conv_stack(path: str, model=None) -> ImportedModel:
+    """Load a shipped conv3/conv5 ONNX (fused conv+BN) into fused params.
+
+    ``model`` (optional) skips re-parsing when the caller already decoded
+    the file (import_any).
+    """
+    model = model if model is not None else load_model(path)
     inits = model.graph.initializers
     params: Params = {}
     n_convs = 0
@@ -198,7 +206,8 @@ def import_conv_stack(path: str) -> ImportedModel:
 
 
 def import_any(path: str) -> ImportedModel:
+    # parse once; multi-MB weight blobs were previously decoded twice
     model = load_model(path)
     if any(n.op_type == "DepthToSpace" for n in model.graph.nodes):
-        return import_pix_shuffle(path)
-    return import_conv_stack(path)
+        return import_pix_shuffle(path, model=model)
+    return import_conv_stack(path, model=model)

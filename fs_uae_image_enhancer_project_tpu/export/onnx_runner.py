@@ -117,7 +117,11 @@ def run_graph(graph: Graph, feeds: Dict[str, np.ndarray]) -> Dict[str, np.ndarra
             out = np.tanh(a)
         elif op == "Sigmoid":
             with np.errstate(over="ignore"):
-                out = 1.0 / (1.0 + np.exp(-a.astype(np.float32))).astype(a.dtype)
+                # full sigmoid in fp32, ONE cast at the end (casting the
+                # denominator first would run the division in fp16)
+                out = (1.0 / (1.0 + np.exp(-a.astype(np.float32)))).astype(
+                    a.dtype
+                )
         elif op == "Softplus":
             xf = a.astype(np.float32)
             out = np.logaddexp(0.0, xf).astype(a.dtype)

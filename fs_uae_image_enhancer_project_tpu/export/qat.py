@@ -77,28 +77,17 @@ def calibrate_conv_stack(
 
     @jax.jit
     def collect(x):
-        maxes = {}
-        for i in range(n_layers):
-            maxes[f"conv{i + 1}"] = jnp.max(jnp.abs(x))
-            skip = x if i in cfg.residual_layers else None
-            from ..ops.conv import conv2d
+        from ..ops.conv import conv2d
 
-            x = conv2d(params[f"conv{i + 1}"], x)
-            is_last = i == n_layers - 1
-            if relu_before_residual_add:
-                if not is_last:
-                    x = jax.nn.relu(x)
-                elif cfg.final_act == "sigmoid":
-                    x = jax.nn.sigmoid(x)
-                if skip is not None:
-                    x = skip + x
-            else:
-                if skip is not None:
-                    x = skip + x
-                if not is_last:
-                    x = jax.nn.relu(x)
-                elif cfg.final_act == "sigmoid":
-                    x = jax.nn.sigmoid(x)
+        maxes = {}
+
+        def conv(name, t):
+            # record each conv INPUT's max-abs, then run the real conv —
+            # _stack_forward supplies the (single-copy) ordering semantics
+            maxes[name] = jnp.max(jnp.abs(t))
+            return conv2d(params[name], t)
+
+        _stack_forward(conv, x, cfg, relu_before_residual_add)
         return maxes
 
     out = {f"conv{i + 1}": 0.0 for i in range(n_layers)}
@@ -173,20 +162,11 @@ def apply_fused_fakequant(
 
 def quantize_conv_stack(params: Params) -> Params:
     """Freeze fused conv-stack weights to int8 (per-cout scales — the same
-    scales fq_weight trained against)."""
-    q: Params = {}
-    for name, p in params.items():
-        w = np.asarray(p["w"], np.float32)
-        s = np.maximum(np.abs(w).max(axis=(0, 1, 2)), 1e-12) / 127.0
-        q[name] = {
-            "w_q": jnp.asarray(
-                np.clip(np.round(w / s), -127, 127).astype(np.int8)
-            ),
-            "w_scale": jnp.asarray(s, jnp.float32),
-        }
-        if "b" in p:
-            q[name]["b"] = p["b"]
-    return q
+    scales fq_weight trained against; single-copy scheme in
+    export/quantized.quantize_weight)."""
+    from .quantized import quantize_weight
+
+    return {name: quantize_weight(p) for name, p in params.items()}
 
 
 def apply_fused_int8(
@@ -197,22 +177,12 @@ def apply_fused_int8(
     *,
     relu_before_residual_add: bool = False,
 ) -> jnp.ndarray:
-    """Deployment int8 forward: int8 x int8 -> int32 on the MXU."""
+    """Deployment int8 forward: int8 x int8 -> int32 on the MXU (shared
+    kernel: export/quantized._qconv)."""
+    from .quantized import _qconv
 
     def conv(name, t):
-        qp = qparams[name]
-        tq = jnp.clip(
-            jnp.round(t / act_scales[name]), -127, 127
-        ).astype(jnp.int8)
-        y = jax.lax.conv_general_dilated(
-            tq, qp["w_q"], (1, 1), "SAME",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.int32,
-        )
-        y = y.astype(jnp.float32) * (qp["w_scale"] * act_scales[name])
-        if "b" in qp:
-            y = y + qp["b"].astype(jnp.float32)
-        return y.astype(t.dtype)
+        return _qconv(qparams[name], t, act_scales[name])
 
     return _stack_forward(conv, x, cfg, relu_before_residual_add)
 

@@ -35,22 +35,29 @@ Params = Dict[str, dict]
 CONV_ORDER = ["conv1", "conv2", "conv3", "conv4", "conv5", "conv6", "conv7"]
 
 
+def quantize_weight(p: dict) -> dict:
+    """Per-output-channel symmetric int8 quantization of ONE conv param dict
+    — the single copy of the scheme (export/qat.py's conv-stack path and the
+    pix_shuffle path below must stay numerically identical)."""
+    w = np.asarray(p["w"], np.float32)  # HWIO
+    scale = np.abs(w).max(axis=(0, 1, 2)) / 127.0  # per cout
+    scale = np.maximum(scale, 1e-12)
+    w_q = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
+    q = {
+        "w_q": jnp.asarray(w_q),
+        "w_scale": jnp.asarray(scale, jnp.float32),
+    }
+    if "b" in p:
+        q["b"] = p["b"]
+    return q
+
+
 def quantize_weights(params: Params) -> Params:
     """Per-output-channel symmetric int8 quantization of all conv weights."""
     q: Params = dict(params)
     for name in CONV_ORDER + ["skip1_proj", "skip2_proj"]:
-        if name not in params:
-            continue
-        w = np.asarray(params[name]["w"], np.float32)  # HWIO
-        scale = np.abs(w).max(axis=(0, 1, 2)) / 127.0  # per cout
-        scale = np.maximum(scale, 1e-12)
-        w_q = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
-        q[name] = {
-            "w_q": jnp.asarray(w_q),
-            "w_scale": jnp.asarray(scale, jnp.float32),
-        }
-        if "b" in params[name]:
-            q[name]["b"] = params[name]["b"]
+        if name in params:
+            q[name] = quantize_weight(params[name])
     return q
 
 

@@ -62,6 +62,9 @@ def run_inference(
 
 
 def main(argv=None) -> int:
+    from ..utils.platform import honor_jax_platforms_env
+
+    honor_jax_platforms_env()  # CLI convention: JAX_PLATFORMS binds
     from ..utils.compile_cache import enable_persistent_cache
 
     enable_persistent_cache()

@@ -34,11 +34,21 @@ def _build() -> Optional[str]:
     out = os.path.join(_BUILD_DIR, "libdither.so")
     if os.path.exists(out) and os.path.getmtime(out) >= os.path.getmtime(src):
         return out
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", src, "-o", out]
+    # compile to a per-pid temp name, then rename: an in-place -o write that
+    # gets killed mid-compile (or raced by a second process) leaves a
+    # truncated .so with a FRESH mtime, which the short-circuit above would
+    # then serve forever; rename is atomic on one filesystem
+    tmp = os.path.join(_BUILD_DIR, f".libdither.{os.getpid()}.so")
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", src, "-o", tmp]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=300)
+        os.replace(tmp, out)
     except Exception as e:  # toolchain missing or compile error: fall back
         warnings.warn(f"native kernel build failed ({e}); using numpy fallback")
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return None
     return out
 
@@ -52,7 +62,24 @@ def _load() -> Optional[ctypes.CDLL]:
         path = _build()
         if path is None:
             return None
-        lib = ctypes.CDLL(path)
+        try:
+            lib = ctypes.CDLL(path)
+        except OSError as e:
+            # e.g. a truncated .so from an older non-atomic build: rebuild
+            # once from scratch, else fall back to numpy rather than raising
+            warnings.warn(f"native kernel load failed ({e}); rebuilding")
+            try:
+                os.unlink(path)
+            except OSError:
+                return None
+            path = _build()
+            if path is None:
+                return None
+            try:
+                lib = ctypes.CDLL(path)
+            except OSError:
+                warnings.warn("native kernel unusable; using numpy fallback")
+                return None
         lib.error_diffusion.argtypes = [
             ctypes.POINTER(ctypes.c_double), ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_double), ctypes.c_int,

@@ -315,6 +315,17 @@ class Trainer:
         if state is None:
             params = m.init(jax.random.key(0))
             state = init_train_state(params, optimizer, has_batchnorm=self.has_bn)
+            if ckpt_path and not os.path.isdir(ckpt_path):
+                # the CSV says we are resuming from this checkpoint; silently
+                # continuing from RANDOM weights while comparing against the
+                # CSV's best_val would waste the whole run (best checkpoint
+                # never updated). Missing path = deleted checkpoints or a
+                # cwd-relative path from another directory — fail loudly.
+                raise FileNotFoundError(
+                    f"resume checkpoint from {self.stats_file} not found: "
+                    f"{ckpt_path!r} (relative paths resolve against the "
+                    "current working directory)"
+                )
             if ckpt_path and os.path.isdir(ckpt_path):
                 # reference resume semantics (train.py:86-148): model weights
                 # from the checkpoint, lr from the CSV, FRESH optimizer state

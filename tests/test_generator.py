@@ -267,3 +267,34 @@ def test_prepare_groundtruth_max_crop_size(tmp_path):
     # idempotent: second run skips existing outputs
     assert prepare_groundtruth.main(
         ["--src", str(tmp_path / "orig"), "--dst", str(dst)]) == 0
+
+
+def test_same_named_sources_in_subdirs_do_not_collide(tmp_path):
+    """Two source images with the same filename in different subdirectories
+    must each get their own output location (regression: basename-keyed
+    output dirs dict-overwrote one image's crops with the other's)."""
+    src = tmp_path / "src"
+    (src / "setA").mkdir(parents=True)
+    (src / "setB").mkdir()
+    rng = np.random.default_rng(9)
+    for sub in ("setA", "setB"):
+        arr = rng.integers(30, 256, (48, 64, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(str(src / sub / "img1.png"))
+
+    cfg = _cfg(tmp_path)
+    res = DatasetGenerator(cfg).run()
+    out_train = tmp_path / "out" / "train"
+    dirs = sorted(os.listdir(out_train))
+    assert len(dirs) == 2, dirs  # one output dir per SOURCE image
+    assert any(d == "img1" or d.startswith("img1_") for d in dirs)
+    # each dir's target must come from its own source (distinct content)
+    targets = []
+    for d in dirs:
+        files = [f for f in os.listdir(out_train / d)
+                 if f.startswith("target")]
+        assert files
+        targets.append(np.asarray(Image.open(out_train / d / files[0])))
+    assert not np.array_equal(targets[0], targets[1])
+    # re-run is a no-op (diff idempotence preserved with hashed bases)
+    res2 = DatasetGenerator(cfg).run()
+    assert res2["generated_this_run"] == 0
