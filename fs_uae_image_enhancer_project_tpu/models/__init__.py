@@ -88,6 +88,17 @@ def get_model(name: str, variant: str = "lightweight") -> ModelDef:
     # Accept reference-style '<name>_heavy' aliases (train.py:310)
     if name.endswith("_heavy"):
         name, variant = name[: -len("_heavy")], "heavyweight"
+    if variant not in ("lightweight", "heavyweight", "heavy"):
+        # a typo'd variant previously fell through every
+        # 'if variant == "lightweight" else heavyweight' branch and silently
+        # returned the heavyweight model
+        raise ValueError(
+            f"Unknown variant {variant!r} (lightweight|heavyweight)"
+        )
+    if variant == "heavy":
+        variant = "heavyweight"
+    if name == "conv6" and variant == "heavyweight":
+        raise ValueError("conv6 has no heavyweight variant")
 
     if name == "pix_shuffle":
         cfg = (

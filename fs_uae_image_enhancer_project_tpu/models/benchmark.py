@@ -47,11 +47,20 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     w, h = args.crop_size
     x = jnp.zeros((args.batch_size, h, w, 3), jnp.bfloat16)
+    apply = model.apply
+    if model.name in ("conv3", "conv5"):
+        # fuse Conv+BN before timing — the reference self-benchmarks fuse
+        # first (model_conv3.py:213-275 'model.fuse()'), and the deployed
+        # graphs never execute live BatchNorm
+        from .conv_stack import apply_fused, fuse
+
+        params = fuse(params, model.config)
+        apply = lambda p, t: apply_fused(p, t, model.config)  # noqa: E731
     p_bf16 = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
 
     @jax.jit
     def fwd(x):
-        return model.apply(p_bf16, x)
+        return apply(p_bf16, x)
 
     out_shape = jax.eval_shape(fwd, x).shape
     print("Starting warm-up...")

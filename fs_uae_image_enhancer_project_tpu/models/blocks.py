@@ -15,7 +15,7 @@
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -149,37 +149,95 @@ def apply_triplet_attention(p: Params, x: jnp.ndarray) -> jnp.ndarray:
 # ResidualDenseBlock
 # ---------------------------------------------------------------------------
 
+DENSE_DEFAULT_ACTS: Tuple[ActSpec, ActSpec] = (("relu", ()), ("identity", ()))
+
+
+def resolve_dense_acts(
+    acts: Tuple[ActSpec, ActSpec], growth: int
+) -> Tuple[ActSpec, ...]:
+    """'channel'/'global' num_parameters resolve against the growth rate —
+    every dense conv outputs ``growth`` channels
+    (residual_dense_block.py:94-103)."""
+    resolved = []
+    for name, items in acts:
+        cfg = dict(items)
+        num = cfg.get("num_parameters")
+        if num == "global":
+            cfg["num_parameters"] = 1
+        elif num == "channel":
+            cfg["num_parameters"] = growth
+        resolved.append((name, tuple(sorted(cfg.items()))))
+    return tuple(resolved)
+
+
 def init_dense_block(
     key: jax.Array,
-    channels: int,
+    in_channels: int,
+    out_channels: Optional[int] = None,
     growth: int = 32,
-    num_layers: int = 4,
-    kernel_size: int = 3,
+    n_convs: int = 3,
+    acts: Tuple[ActSpec, ActSpec] = DENSE_DEFAULT_ACTS,
     use_attention: bool = False,
+    use_local_residual_learning: bool = True,
 ) -> Params:
-    ks = jax.random.split(key, num_layers + 2)
+    """ESRGAN-style RDB parameters (residual_dense_block.py:33-139):
+    ``n_convs`` dense 3x3 convs (cin grows by ``growth`` each), two
+    activation slots per conv (default relu+identity), 1x1 dense feature
+    fusion to ``out_channels``, and — only when channel counts differ and
+    local residual learning is on — a 1x1 residual adjustment conv."""
+    out_channels = in_channels if out_channels is None else out_channels
+    acts_r = resolve_dense_acts(acts, growth)
+    ks = jax.random.split(key, 3 * n_convs + 3)
     p: Params = {}
-    cin = channels
-    for i in range(num_layers):
-        p[f"conv{i + 1}"] = init_conv(ks[i], cin, growth, kernel_size)
+    cin = in_channels
+    for i in range(n_convs):
+        p[f"conv{i + 1}"] = init_conv(ks[3 * i], cin, growth, 3)
+        for j in (0, 1):
+            spec = acts_r[j]
+            p[f"l{i + 1}_act{j + 1}"] = init_activation(
+                ks[3 * i + 1 + j], spec[0], dict(spec[1])
+            )
         cin += growth
-    p["fusion"] = init_conv(ks[num_layers], cin, channels, 1)
+    p["fusion"] = init_conv(ks[3 * n_convs], cin, out_channels, 1)
     if use_attention:
-        p["attn"] = init_triplet_attention(ks[num_layers + 1])
+        p["attn"] = init_triplet_attention(ks[3 * n_convs + 1])
+    if use_local_residual_learning and in_channels != out_channels:
+        p["adjust"] = init_conv(ks[3 * n_convs + 2], in_channels,
+                                out_channels, 1)
     return p
 
 
 def apply_dense_block(
-    p: Params, x: jnp.ndarray, num_layers: int = 4, res_scale: float = 0.2
+    p: Params,
+    x: jnp.ndarray,
+    n_convs: int = 3,
+    growth: Optional[int] = None,
+    acts: Tuple[ActSpec, ActSpec] = DENSE_DEFAULT_ACTS,
 ) -> jnp.ndarray:
-    """Dense concat convs + 1x1 fusion + scaled local residual
-    (reference residual_dense_block.py:142-183)."""
+    """Dense-concat convs (two act slots each) -> triplet attention on the
+    CONCATENATED features -> 1x1 fusion -> local residual through the 1x1
+    adjustment conv (residual_dense_block.py:142-183).
+
+    Residual quirk reproduced exactly: the reference adds the skip only via
+    ``local_residual_adjustment`` (present when in!=out channels with local
+    residual learning on); with matching channels the fusion output is
+    returned with NO residual (residual_dense_block.py:129-137,:180-183).
+    """
+    if growth is None:
+        growth = p["conv1"]["w"].shape[-1]
+    acts_r = resolve_dense_acts(acts, growth)
     feats = [x]
-    for i in range(num_layers):
+    for i in range(n_convs):
         h = conv2d(p[f"conv{i + 1}"], jnp.concatenate(feats, axis=-1))
-        h = jax.nn.leaky_relu(h, negative_slope=0.2)
+        for j in (0, 1):
+            name, items = acts_r[j]
+            h = apply_activation(name, p[f"l{i + 1}_act{j + 1}"], h,
+                                 dict(items))
         feats.append(h)
-    out = conv2d(p["fusion"], jnp.concatenate(feats, axis=-1))
+    cat = jnp.concatenate(feats, axis=-1)
     if "attn" in p:
-        out = apply_triplet_attention(p["attn"], out)
-    return x + res_scale * out
+        cat = apply_triplet_attention(p["attn"], cat)
+    out = conv2d(p["fusion"], cat)
+    if "adjust" in p:
+        out = out + conv2d(p["adjust"], x)
+    return out

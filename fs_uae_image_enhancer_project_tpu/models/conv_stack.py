@@ -155,6 +155,14 @@ def apply_uint8_rgba(params: Params, x_rgba: jnp.ndarray, cfg: ConvStackConfig) 
     """
     if x_rgba.dtype != jnp.uint8 or x_rgba.shape[-1] != 4:
         raise ValueError("Input tensor must be uint8 with 4 channels (RGBA)")
+    if any(k.startswith("bn") for k in params):
+        # unfused training params: apply_fused would silently run bias-free
+        # convs with BatchNorm never applied (garbage pixels, no error)
+        raise ValueError(
+            "apply_uint8_rgba expects FUSED deployment params; call "
+            "conv_stack.fuse(params, cfg) first (the pytree still has bn* "
+            "entries)"
+        )
     rgb = x_rgba[..., :3].astype(jnp.float32) / 255.0
     y = apply_fused(params, rgb, cfg) * 255.0
     alpha = jnp.full(y.shape[:-1] + (1,), 255.0, y.dtype)

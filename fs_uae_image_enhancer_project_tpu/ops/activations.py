@@ -107,6 +107,37 @@ def _canonical(name: str) -> str:
     return n
 
 
+# accepted config keys per activation; anything else raises (the reference
+# factory passes params into the module constructor, so a misspelled key —
+# e.g. negative_slop — raises TypeError there instead of silently running
+# with the default; activations.py:99-171)
+_ALLOWED_CONFIG: Dict[str, frozenset] = {
+    "elu": frozenset({"alpha"}),
+    "leaky_relu": frozenset({"negative_slope"}),
+    "softplus": frozenset({"beta", "threshold"}),
+    "softmax": frozenset({"axis"}),
+    "log_softmax": frozenset({"axis"}),
+    "prelu": frozenset({"num_parameters", "init"}),
+    "sinlu": frozenset(),
+    "biased_relu": frozenset({"num_parameters"}),
+    "biased_prelu": frozenset({"num_parameters", "init"}),
+}
+
+
+def _check_config(n: str, config: Dict[str, Any]) -> None:
+    allowed = _ALLOWED_CONFIG.get(n, frozenset())
+    unknown = set(config) - allowed
+    if unknown:
+        hint = ""
+        if "dim" in unknown and n in ("softmax", "log_softmax"):
+            hint = (" (this NHWC port takes 'axis'; torch NCHW 'dim' values "
+                    "don't translate 1:1 — channel softmax is axis=-1)")
+        raise TypeError(
+            f"activation '{n}' got unexpected config key(s) "
+            f"{sorted(unknown)}; allowed: {sorted(allowed)}{hint}"
+        )
+
+
 def init_activation(
     key: jax.Array, name: str, config: Optional[Dict[str, Any]] = None
 ) -> Params:
@@ -119,6 +150,7 @@ def init_activation(
     """
     n = _canonical(name)
     config = dict(config or {})
+    _check_config(n, config)
     if n == "prelu":
         num = int(config.get("num_parameters", 1))
         init = float(config.get("init", 0.25))
@@ -167,6 +199,7 @@ def apply_activation(
     """Apply activation ``name`` with pytree ``params`` and static ``config``."""
     n = _canonical(name)
     config = dict(config or {})
+    _check_config(n, config)
 
     if n in _SIMPLE:
         return _SIMPLE[n](x)

@@ -368,6 +368,27 @@ def _stack_kernel(
 # host-side wrapper
 # ---------------------------------------------------------------------------
 
+_PREP_CACHE: dict = {}
+
+
+def _prep_weights_cached(params: Params):
+    """Per-params-pytree cache around _prep_weights: each prep round-trips
+    every conv weight device->host->device (np.asarray + re-upload), which
+    through the tunnel costs whole RTTs PER FRAME for unjitted callers.
+    Keyed on the id of the params dict (weights are immutable jax arrays;
+    a new/updated pytree gets a new dict id). Bounded: keep the last entry
+    only — enhance serving uses one weight set per process."""
+    key = id(params)
+    hit = _PREP_CACHE.get(key)
+    if hit is None:
+        _PREP_CACHE.clear()
+        # store the params dict itself alongside: the strong reference
+        # keeps it alive, so its id cannot be recycled by a new object
+        hit = (params, _prep_weights(params))
+        _PREP_CACHE[key] = hit
+    return hit[1]
+
+
 def _prep_weights(params: Params):
     """Flatten conv weights to (9*cin, cout) and collect act params."""
 
@@ -503,7 +524,7 @@ def fused_stack_apply(
     w_half = u.shape[1]
     wp = ((w_half + 2 + 7) // 8) * 8
     up = jnp.pad(u, ((HALO, HALO), (1, wp - w_half - 1), (0, 0)))
-    weight_args = _prep_weights(params)
+    weight_args = _prep_weights_cached(params)
     y = _run_stack(up, *weight_args, interpret=interpret, w_valid=w_half)
     y = y[:, 1 : 1 + w_half, :].astype(x.dtype)  # strip W pads
     y = pixel_shuffle(y[None], 2)

@@ -329,6 +329,22 @@ def _pack_conv_weight(w: np.ndarray) -> np.ndarray:
     return w2.reshape(12 * cin, 2 * cout)
 
 
+_PREP_CACHE: dict = {}
+
+
+def _prep_weights_cached(params: Params):
+    """Per-params cache (see fused_stack._prep_weights_cached): avoids a
+    device->host->device weight round trip per unjitted call; the stored
+    strong reference keeps the dict's id from being recycled."""
+    key = id(params)
+    hit = _PREP_CACHE.get(key)
+    if hit is None:
+        _PREP_CACHE.clear()
+        hit = (params, _prep_weights(params))
+        _PREP_CACHE[key] = hit
+    return hit[1]
+
+
 def _prep_weights(params: Params):
     """Pack conv weights to (12cin, 2cout) and tile per-channel act params
     across the pair lanes."""
@@ -456,7 +472,7 @@ def fused_stack_packed_apply(
     o_in = up[:, 1 : wu + 1, :].reshape(h2 + 2 * HALO, wu // 2, 24)
     a_in = jnp.pad(o_in[:, :-1, :], ((0, 0), (1, 0), (0, 0)))  # A[t] = O[t-1]
     o_in = jnp.concatenate([a_in, o_in], axis=2)  # (hp, wq, 48)
-    weight_args = _prep_weights(params)
+    weight_args = _prep_weights_cached(params)
     y = _run_stack(o_in, *weight_args, interpret=interpret, w_valid=w2u)
     y = y.reshape(h2, wu, 12)[:, 2 : 2 + w2u, :].astype(x.dtype)
     y = pixel_shuffle(y[None], 2)

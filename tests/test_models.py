@@ -158,10 +158,32 @@ def test_feature_block_channel_global_resolution():
 
 
 def test_dense_block_and_triplet_attention():
-    p = blocks.init_dense_block(KEY, 16, growth=8, num_layers=3, use_attention=True)
+    # matching channels: reference returns the fusion output with NO
+    # residual (residual_dense_block.py:129-137 leaves the adjustment conv
+    # None and :180-183 only adds through it)
+    p = blocks.init_dense_block(KEY, 16, growth=8, n_convs=3,
+                                use_attention=True)
+    assert "adjust" not in p
     x = jax.random.uniform(KEY, (1, 8, 8, 16), jnp.float32)
-    y = blocks.apply_dense_block(p, x, num_layers=3)
+    y = blocks.apply_dense_block(p, x, n_convs=3)
     assert y.shape == x.shape
+    # differing channels: 1x1-adjusted residual is added
+    p2 = blocks.init_dense_block(KEY, 16, out_channels=24, growth=8,
+                                 n_convs=2)
+    assert "adjust" in p2
+    y2 = blocks.apply_dense_block(p2, x, n_convs=2)
+    assert y2.shape == (1, 8, 8, 24)
+    # channel-resolved activation params land on the growth width
+    p3 = blocks.init_dense_block(
+        KEY, 16, growth=8, n_convs=2,
+        acts=(("prelu", (("num_parameters", "channel"),)), ("identity", ())),
+    )
+    assert p3["l1_act1"]["slope"].shape == (8,)
+    y3 = blocks.apply_dense_block(
+        p3, x, n_convs=2,
+        acts=(("prelu", (("num_parameters", "channel"),)), ("identity", ())),
+    )
+    assert y3.shape == x.shape
     pa = blocks.init_triplet_attention(KEY)
     ya = blocks.apply_triplet_attention(pa, x)
     assert ya.shape == x.shape
