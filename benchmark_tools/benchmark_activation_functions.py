@@ -28,17 +28,27 @@ from fs_uae_image_enhancer_project_tpu.ops.activations import (
 SHAPES = [(1, 576, 752, 3), (1, 288, 376, 36), (1, 288, 376, 72)]
 
 
-def time_fn(fn, x, duration_s=1.0):
+def time_fn(fn, x, duration_s=1.0, chunk=500):
     from fs_uae_image_enhancer_project_tpu.utils.profiler import measure_chained
 
-    res = measure_chained(fn, x, warmup=3, duration_s=duration_s, chunk=20)
+    # activations are microsecond-scale: the tunnel's RTT/chunk adder must
+    # be pushed well below the signal (chunk=20 would report ~RTT/20 =
+    # 7.5-17.5 ms/call, ~1000x the true cost — docs/PERF.md "RTT adder")
+    res = measure_chained(fn, x, warmup=3, duration_s=duration_s, chunk=chunk)
     return res.ms_per_call * 1e3  # us per call
 
 
 def main() -> int:
+    from fs_uae_image_enhancer_project_tpu.utils.platform import (
+        honor_jax_platforms_env,
+    )
+
+    honor_jax_platforms_env()  # CLI convention: JAX_PLATFORMS binds
     ap = argparse.ArgumentParser()
     ap.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
     ap.add_argument("--duration", type=float, default=1.0)
+    ap.add_argument("--chunk", type=int, default=500,
+                    help="chained calls per host fetch")
     ap.add_argument("--names", nargs="*", default=None)
     args = ap.parse_args()
 
@@ -64,8 +74,10 @@ def main() -> int:
             )
             try:
                 results[key][name] = {
-                    "fwd_us": round(time_fn(fwd, x, args.duration), 2),
-                    "fwd_bwd_us": round(time_fn(bwd, x, args.duration), 2),
+                    "fwd_us": round(
+                        time_fn(fwd, x, args.duration, args.chunk), 2),
+                    "fwd_bwd_us": round(
+                        time_fn(bwd, x, args.duration, args.chunk), 2),
                 }
             except Exception as e:
                 results[key][name] = {"error": f"{type(e).__name__}"}

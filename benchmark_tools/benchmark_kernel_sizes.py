@@ -28,7 +28,7 @@ def analytic_gflops(h, w, cin, cout, k):
     return 2.0 * h * w * cin * cout * k * k / 1e9
 
 
-def time_conv(cin, cout, k, h, w, dtype, duration_s=1.0):
+def time_conv(cin, cout, k, h, w, dtype, duration_s=1.0, chunk=200):
     from fs_uae_image_enhancer_project_tpu.utils.profiler import measure_chained
 
     params = init_conv(jax.random.key(0), cin, cout, k)
@@ -42,7 +42,11 @@ def time_conv(cin, cout, k, h, w, dtype, duration_s=1.0):
         params_back = init_conv(jax.random.key(1), cout, cin, k)
         back = jax.jit(lambda y: conv2d(params_back, y))
         chain = lambda x: back(fwd(x))  # noqa: E731
-    res = measure_chained(chain, x, warmup=3, duration_s=duration_s, chunk=10)
+    # single convs are sub-millisecond: chunk must push the tunnel's
+    # RTT/chunk adder below the signal (chunk=10 reported ~RTT/10 =
+    # 15-35 ms/call, >90% noise — docs/PERF.md "RTT adder")
+    res = measure_chained(chain, x, warmup=3, duration_s=duration_s,
+                          chunk=chunk)
     per_call = res.ms_per_call
     if cin != cout:
         per_call /= 2.0  # chain ran two convs per step
@@ -50,18 +54,25 @@ def time_conv(cin, cout, k, h, w, dtype, duration_s=1.0):
 
 
 def main() -> int:
+    from fs_uae_image_enhancer_project_tpu.utils.platform import (
+        honor_jax_platforms_env,
+    )
+
+    honor_jax_platforms_env()  # CLI convention: JAX_PLATFORMS binds
     ap = argparse.ArgumentParser()
     ap.add_argument("--shape", type=int, nargs=2, default=[288, 376],
                     metavar=("H", "W"))
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--duration", type=float, default=1.0)
+    ap.add_argument("--chunk", type=int, default=200,
+                    help="chained calls per host fetch")
     args = ap.parse_args()
     h, w = args.shape
     dtype = jnp.dtype(args.dtype)
     rows = []
     for k in KERNELS:
         for c in CHANNELS:
-            ms = time_conv(c, c, k, h, w, dtype, args.duration)
+            ms = time_conv(c, c, k, h, w, dtype, args.duration, args.chunk)
             gf = analytic_gflops(h, w, c, c, k)
             rows.append({
                 "kernel": k, "channels": c, "ms": round(ms, 4),

@@ -40,6 +40,11 @@ def find_equal_latency_channels(
 
 
 def main() -> int:
+    from fs_uae_image_enhancer_project_tpu.utils.platform import (
+        honor_jax_platforms_env,
+    )
+
+    honor_jax_platforms_env()  # CLI convention: JAX_PLATFORMS binds
     ap = argparse.ArgumentParser()
     ap.add_argument("--reference_kernel", type=int, default=3)
     ap.add_argument("--reference_channels", type=int, default=36)

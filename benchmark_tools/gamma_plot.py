@@ -30,6 +30,11 @@ from fs_uae_image_enhancer_project_tpu.ops.gamma import (  # noqa: E402
 
 
 def main() -> int:
+    from fs_uae_image_enhancer_project_tpu.utils.platform import (
+        honor_jax_platforms_env,
+    )
+
+    honor_jax_platforms_env()  # CLI convention: JAX_PLATFORMS binds
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="gamma_curves.png")
     args = ap.parse_args()

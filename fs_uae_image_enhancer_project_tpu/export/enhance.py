@@ -90,13 +90,79 @@ def default_enhance_fn(variant: str = "lightweight", seed: int = 0, **kwargs):
     return make_enhance_fn(m.apply, params, **kwargs), params
 
 
+def _graft_onto(shape_node, param_node):
+    """Rebuild imported params in the canonical init() structure (restores
+    the empty dicts of param-less activation slots, which the ONNX round
+    trip cannot carry)."""
+    import numpy as np
+
+    if isinstance(shape_node, dict):
+        return {k: _graft_onto(v, param_node.get(k) if isinstance(param_node, dict) else None)
+                for k, v in shape_node.items()}
+    return np.asarray(param_node, np.float32)
+
+
+def _match_structure(model_def, params):
+    """Return params grafted onto ``model_def.init``'s pytree if every array
+    leaf (by path and shape) matches, else None."""
+    from jax.tree_util import keystr, tree_flatten_with_path
+
+    shapes = jax.eval_shape(model_def.init, jax.random.PRNGKey(0))
+
+    def leafmap(tree):
+        flat, _ = tree_flatten_with_path(tree)
+        return {keystr(kp): tuple(v.shape) for kp, v in flat}
+
+    if leafmap(shapes) != leafmap(params):
+        return None
+    return _graft_onto(shapes, params)
+
+
 def enhance_from_onnx(path: str, **kwargs):
-    """Enhance fn with weights imported from a shipped reference artifact,
-    reproducing that artifact's exact wrapper contract."""
+    """Enhance fn with weights imported from a shipped reference artifact
+    (or one of our own exported graphs), reproducing that artifact's exact
+    wrapper contract."""
     from ..models import get_model
     from .onnx_import import import_any
 
     imp = import_any(path)
+    if imp.kind == "conv6":
+        m = get_model("conv6")
+        params = _match_structure(m, imp.params)
+        if params is None:
+            raise ValueError(
+                f"artifact {path} does not match the default conv6 topology; "
+                "build the enhance fn manually with make_enhance_fn and the "
+                "matching config"
+            )
+        return make_enhance_fn(
+            m.apply,
+            params,
+            crop_left=imp.crop_left,
+            srgb_to_linear_exponent=imp.srgb_to_linear_exponent,
+            linear_to_srgb_exponent=imp.linear_to_srgb_exponent,
+            **kwargs,
+        )
+    if imp.kind == "residual_unet":
+        tried = []
+        for variant in ("lightweight", "heavyweight"):
+            m = get_model("residual_unet", variant)
+            params = _match_structure(m, imp.params)
+            if params is not None:
+                return make_enhance_fn(
+                    m.apply,
+                    params,
+                    crop_left=imp.crop_left,
+                    srgb_to_linear_exponent=imp.srgb_to_linear_exponent,
+                    linear_to_srgb_exponent=imp.linear_to_srgb_exponent,
+                    **kwargs,
+                )
+            tried.append(variant)
+        raise ValueError(
+            f"artifact {path} matches neither residual_unet variant "
+            f"({tried}); build the enhance fn manually with make_enhance_fn "
+            "and the matching config"
+        )
     if imp.kind == "pix_shuffle":
         m = get_model("pix_shuffle")
         # topology check: only the lightweight config is auto-reconstructable

@@ -51,17 +51,18 @@ class _ModelEmitter:
     def conv(self, name: str, x: str) -> str:
         p = self.params[name]
         w_hwio = np.asarray(p["w"], np.float32)
-        kh = w_hwio.shape[0]
+        kh, kw = w_hwio.shape[:2]  # per-axis: non-square kernels are legal
         w_oihw = np.transpose(w_hwio, (3, 2, 0, 1)).astype(self.np_dtype)
         self.const(f"{name}.weight", w_oihw)
         inputs = [x, f"{name}.weight"]
         if "b" in p:
             self.const(f"{name}.bias", np.asarray(p["b"], self.np_dtype))
             inputs.append(f"{name}.bias")
-        pad = (kh - 1) // 2
+        ph, pw = (kh - 1) // 2, (kw - 1) // 2
         (y,) = self.b.add_node(
             "Conv", inputs, [f"{name}_out"],
-            kernel_shape=[kh, kh], pads=[pad, pad, pad, pad],
+            # ONNX pads order: [h_begin, w_begin, h_end, w_end]
+            kernel_shape=[kh, kw], pads=[ph, pw, ph, pw],
             strides=[1, 1], group=1,
         )
         return y

@@ -40,7 +40,7 @@ Params = Dict[str, dict]
 
 @dataclass
 class ImportedModel:
-    kind: str  # 'pix_shuffle' | 'conv_stack'
+    kind: str  # 'pix_shuffle' | 'conv_stack' | 'conv6' | 'residual_unet'
     params: Params
     num_conv_layers: int
     residual_layers: tuple = ()
@@ -105,7 +105,8 @@ def import_pix_shuffle(path: str, model=None) -> ImportedModel:
         m = re.fullmatch(r"conv(\d+)\.bias", name)
         if m:
             params.setdefault(f"conv{int(m.group(1))}", {})["b"] = _f32(t.to_numpy())
-        m = re.fullmatch(r"skip(\d)_proj_conv\.weight", name)
+        # torch naming 'skipN_proj_conv.weight'; our exporter 'skipN_proj.weight'
+        m = re.fullmatch(r"skip(\d)_proj(?:_conv)?\.weight", name)
         if m:
             params[f"skip{m.group(1)}_proj"] = {"w": _conv_to_hwio(t.to_numpy())}
         # sinlu a/b, biased_(p)relu bias/slope (slope appears by name in
@@ -205,9 +206,67 @@ def import_conv_stack(path: str, model=None) -> ImportedModel:
     )
 
 
+# graphs emitted by our own exporter carry the family in the graph name
+# (onnx_export.py GraphBuilder names); conv6 has no DepthToSpace and the
+# unet HAS one, so shape-based dispatch alone would misroute both
+_NATIVE_GRAPH_KINDS = {
+    "fs_uae_enhance_conv6": "conv6",
+    "fs_uae_enhance_unet": "residual_unet",
+}
+
+
+def import_native(path: str, kind: str, model=None) -> ImportedModel:
+    """Import an artifact emitted by our own exporter into a nested pytree.
+
+    onnx_export.py names every initializer after the flattened param tree
+    (_flatten_params dotted keys + '.weight'/'.bias' conv leaves and
+    '.a'/'.b'/'.bias'/'.slope' activation leaves), so the inverse mapping is
+    mechanical: collect leaf tensors, un-flatten on dots. Wrapper constants
+    (slice/pad/gamma/clip) never carry those suffixes.
+    """
+    model = model if model is not None else load_model(path)
+    flat: Dict[str, dict] = {}
+    for name, t in model.graph.initializers.items():
+        m = re.fullmatch(r"(.+)\.(weight|bias|a|b|slope)", name)
+        if not m:
+            continue
+        pathk, leaf = m.group(1), m.group(2)
+        arr = t.to_numpy()
+        if leaf == "weight":
+            if arr.ndim != 4:
+                continue
+            flat.setdefault(pathk, {})["w"] = _conv_to_hwio(arr)
+        elif leaf == "bias" and arr.ndim == 1:
+            flat.setdefault(pathk, {})["b"] = _f32(arr)
+        else:
+            # activation leaves are emitted per-channel as (-1,1,1) or scalar
+            flat.setdefault(pathk, {})[leaf] = _f32(arr).reshape(-1)
+    params: Params = {}
+    for pathk, leafd in flat.items():
+        node = params
+        parts = pathk.split(".")
+        for part in parts[:-1]:
+            node = node.setdefault(part, {})
+        node[parts[-1]] = leafd
+    exps = _gamma_exponents(model)
+    return ImportedModel(
+        kind=kind,
+        params=params,
+        num_conv_layers=0,
+        has_gamma=exps is not None,
+        srgb_to_linear_exponent=exps[0] if exps else 2.2,
+        linear_to_srgb_exponent=exps[1] if exps else 1.0 / 2.2,
+        crop_left=_detect_crop_left(model),
+        source=path,
+    )
+
+
 def import_any(path: str) -> ImportedModel:
     # parse once; multi-MB weight blobs were previously decoded twice
     model = load_model(path)
+    kind = _NATIVE_GRAPH_KINDS.get(model.graph.name)
+    if kind is not None:
+        return import_native(path, kind, model=model)
     if any(n.op_type == "DepthToSpace" for n in model.graph.nodes):
         return import_pix_shuffle(path, model=model)
     return import_conv_stack(path, model=model)

@@ -80,6 +80,19 @@ def _read_varint(buf: bytes, pos: int) -> Tuple[int, int]:
             raise ValueError("varint too long")
 
 
+def _repeated_varints(val, wtype: int):
+    """Values of a repeated varint field: packed (wtype 2, a length-
+    delimited run of varints) or unpacked (wtype 0, one already-decoded
+    int per tag — legal protobuf that parsers must accept)."""
+    if wtype == 0:
+        yield val
+        return
+    pos = 0
+    while pos < len(val):
+        v, pos = _read_varint(val, pos)
+        yield v
+
+
 def _write_varint(out: bytearray, value: int) -> None:
     if value < 0:
         value &= (1 << 64) - 1  # two's complement for negative int64
@@ -264,17 +277,21 @@ def _parse_tensor(buf: bytes) -> Tensor:
                 dims.append(v)
         elif fnum == 2:
             t.data_type = val
-        elif fnum == 4:  # packed float_data
-            t.float_data = list(np.frombuffer(val, dtype=np.float32))
-        elif fnum == 5:  # packed int32_data
-            pos = 0
-            while pos < len(val):
-                v, pos = _read_varint(val, pos)
-                t.int32_data.append(v)
-        elif fnum == 7:  # packed int64_data
-            pos = 0
-            while pos < len(val):
-                v, pos = _read_varint(val, pos)
+        # repeated numeric fields: parsers must accept BOTH packed (wtype 2)
+        # and unpacked (one value per tag) encodings, like dims above.
+        # Negative values are wire-encoded as 64-bit two's-complement
+        # varints; the uint16 payloads FLOAT16 smuggles through int32_data
+        # are < 2^63 and pass through unchanged.
+        elif fnum == 4:  # float_data
+            if wtype == 2:
+                t.float_data.extend(np.frombuffer(val, dtype=np.float32))
+            else:
+                t.float_data.append(struct.unpack("<f", val)[0])
+        elif fnum == 5:  # int32_data
+            for v in _repeated_varints(val, wtype):
+                t.int32_data.append(v - (1 << 64) if v >= (1 << 63) else v)
+        elif fnum == 7:  # int64_data
+            for v in _repeated_varints(val, wtype):
                 t.int64_data.append(v - (1 << 64) if v >= (1 << 63) else v)
         elif fnum == 8:
             t.name = val.decode("utf-8")

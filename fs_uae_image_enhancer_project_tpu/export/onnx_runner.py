@@ -167,6 +167,20 @@ def run_graph(graph: Graph, feeds: Dict[str, np.ndarray]) -> Dict[str, np.ndarra
             b = ins[2] if len(ins) > 2 else None
             pads4 = node.attr("pads", [0, 0, 0, 0])
             strides = node.attr("strides", [1, 1])
+            # this runner is the project's parity truth: refuse attributes
+            # it would otherwise silently ignore (dilated/auto-padded convs
+            # would compute a different function without any error)
+            dil = node.attr("dilations", [1, 1])
+            if any(d != 1 for d in dil):
+                raise NotImplementedError(f"Conv dilations={dil}")
+            ap = node.attr("auto_pad", "NOTSET")
+            if ap != "NOTSET":
+                raise NotImplementedError(f"Conv auto_pad={ap!r}")
+            ks = node.attr("kernel_shape")
+            if ks is not None and tuple(ks) != tuple(w.shape[2:]):
+                raise NotImplementedError(
+                    f"Conv kernel_shape={ks} != weight spatial {w.shape[2:]}"
+                )
             out = _conv(
                 a.astype(np.float32), w.astype(np.float32),
                 None if b is None else b.astype(np.float32),

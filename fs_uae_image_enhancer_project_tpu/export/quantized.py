@@ -176,21 +176,23 @@ def make_quantized_enhance(
     ``calibration_frames``: linear-light float (H, W, 3) arrays (use real
     Amiga frames through the same gamma the wrapper applies).
     """
+    import functools
+
+    from .enhance import make_enhance_fn
+
     scales = calibrate(params, cfg, calibration_frames)
     qparams = quantize_weights(params)
-
-    def enhance(frames: jnp.ndarray) -> jnp.ndarray:
-        rgb = frames[..., :3]
-        if crop_left:
-            rgb = rgb[:, :, crop_left:, :]
-        x = rgb.astype(jnp.float32) / 255.0
-        x = x ** srgb_to_linear_exponent
-        y = apply_quantized(qparams, x.astype(compute_dtype), cfg, scales)
-        y = jnp.clip(y.astype(jnp.float32), 0.0, None) ** linear_to_srgb_exponent
-        out = jnp.clip(y * 255.0, 0.0, 255.0).astype(jnp.uint8)
-        if crop_left:
-            out = jnp.pad(out, ((0, 0), (0, 0), (crop_left, 0), (0, 0)))
-        alpha = jnp.full(out.shape[:-1] + (1,), 255, jnp.uint8)
-        return jnp.concatenate([out, alpha], axis=-1)
-
-    return jax.jit(enhance) if jit else enhance
+    # one uint8-RGBA deployment wrapper for the whole project: reuse
+    # make_enhance_fn (input validation, fp32 gamma island, crop/alpha
+    # plumbing) around the int8 forward instead of keeping a second copy
+    # of the contract in sync
+    return make_enhance_fn(
+        functools.partial(apply_quantized, cfg=cfg, scales=scales),
+        qparams,
+        crop_left=crop_left,
+        compute_dtype=compute_dtype,
+        srgb_to_linear_exponent=srgb_to_linear_exponent,
+        linear_to_srgb_exponent=linear_to_srgb_exponent,
+        donate=False,
+        jit=jit,
+    )

@@ -28,9 +28,17 @@ def make_sharded_enhance(
     Returns (sharded_fn, shard_batch) where shard_batch places a host batch
     with (dp, None, None, None) sharding and sharded_fn is the jitted
     computation with matching output shardings.
+
+    ``enhance_fn`` may be the library default (make_enhance_fn with
+    jit=True + donated arg): an already-jitted fn is unwrapped to its
+    underlying python function first — nesting a donating jit inside the
+    outer sharded jit would drop the donation with a per-call warning.
+    The sharded path itself does not donate (offline batch inference is
+    throughput-bound, and callers keep their input batches).
     """
     if mesh is None:
         mesh = make_mesh(sp=1)
+    enhance_fn = getattr(enhance_fn, "__wrapped__", enhance_fn)
     bspec = NamedSharding(mesh, P("dp"))
 
     def shard_batch(frames: np.ndarray):

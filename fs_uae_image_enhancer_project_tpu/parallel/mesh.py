@@ -34,6 +34,12 @@ def make_mesh(
     """
     devs = list(devices) if devices is not None else jax.devices()
     n = n_devices if n_devices is not None else len(devs)
+    if n > len(devs):
+        # devs[:n] would silently truncate and die later in an opaque
+        # reshape; fail with the actual device arithmetic instead
+        raise ValueError(
+            f"asked for {n} devices but only {len(devs)} are available"
+        )
     devs = devs[:n]
     if dp is None:
         if n % sp:

@@ -91,8 +91,13 @@ class SidecarServer:
         max_clients: int = 4,
         verbose: int = 1,
     ):
-        if depth < 0:
-            raise ValueError("depth must be >= 0")
+        if not 0 <= depth <= 255:
+            # handshake encodes depth as one byte; validating here fails
+            # fast instead of struct.error at client connect (after minutes
+            # of warmup compile, killing the session thread uncleanly)
+            raise ValueError("depth must be in [0, 255]")
+        if not (1 <= height <= 65535 and 1 <= width <= 65535):
+            raise ValueError("height/width must fit the u16 handshake fields")
         if max_clients < 1:
             raise ValueError("max_clients must be >= 1")
         self.fn = enhance_fn
@@ -274,6 +279,8 @@ class SidecarClient:
         if tag is None or tag[0] != RE_FRAME:
             raise RuntimeError(f"expected frame response, got {tag}")
         payload = _recv_exact(self.sock, self.frame_bytes)
+        if payload is None:
+            raise RuntimeError("server closed the connection mid-frame")
         return np.frombuffer(payload, np.uint8).reshape(self.h, self.w, 4)
 
     def submit(self, frame: np.ndarray) -> Optional[np.ndarray]:
@@ -290,16 +297,31 @@ class SidecarClient:
             return self._read_frame()
         return None
 
-    def drain(self):
-        """Flush in-flight frames; yields them."""
+    def drain(self) -> list:
+        """Flush in-flight frames; returns them as a list.
+
+        Eager (NOT a generator): the OP_DRAIN send and the protocol state
+        update must happen even when the caller ignores the frames — a
+        lazy version silently dropped in-flight frames for callers that
+        did not iterate. Unknown tags and mid-stream EOF raise instead of
+        desynchronizing the stream.
+        """
         self.sock.sendall(bytes([OP_DRAIN]))
+        frames = []
         while True:
             tag = _recv_exact(self.sock, 1)
-            if tag is None or tag[0] == RE_DRAIN_DONE:
-                return
+            if tag is None:
+                raise RuntimeError("server closed the connection mid-drain")
+            if tag[0] == RE_DRAIN_DONE:
+                return frames
+            if tag[0] != RE_FRAME:
+                raise RuntimeError(f"unexpected drain response tag {tag[0]}")
             payload = _recv_exact(self.sock, self.frame_bytes)
+            if payload is None:
+                raise RuntimeError("server closed the connection mid-frame")
             self._pending = max(getattr(self, "_pending", 1) - 1, 0)
-            yield np.frombuffer(payload, np.uint8).reshape(self.h, self.w, 4)
+            frames.append(
+                np.frombuffer(payload, np.uint8).reshape(self.h, self.w, 4))
 
     def shutdown_server(self) -> None:
         self.sock.sendall(bytes([OP_SHUTDOWN]))

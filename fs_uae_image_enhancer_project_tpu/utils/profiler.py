@@ -52,10 +52,29 @@ class BenchResult:
         return dataclasses.asdict(self)
 
 
-def _fetch(x) -> None:
-    """Force completion by pulling one element of every output leaf."""
+def _fetch_probe(x) -> None:
+    """Force completion by fetching ONE element of every output leaf.
+
+    The slice happens on DEVICE (``leaf.ravel()[:1]`` dispatches a tiny
+    program) so the host transfer is 1 element, not the whole array —
+    ``np.asarray(leaf)`` would pay the full output payload through the
+    tunnel once per chunk, inflating every reported latency by
+    transfer_time/chunk. Still honest: the fetched element's value
+    depends on the completed final program, which depends on the whole
+    chain, so the wall-clock includes all chained executions.
+    """
     for leaf in jax.tree.leaves(x):
-        np.asarray(leaf).ravel()[:1]
+        if hasattr(leaf, "ravel"):
+            np.asarray(leaf.ravel()[:1])
+        else:
+            np.asarray(leaf)
+
+
+def _fetch_all(x) -> None:
+    """Force completion by pulling EVERY output leaf in full — the
+    deployment host-readback pattern (measure_roundtrip only)."""
+    for leaf in jax.tree.leaves(x):
+        np.asarray(leaf)
 
 
 def measure_chained(
@@ -76,12 +95,12 @@ def measure_chained(
     # same steady-state measurement.
     t0 = time.perf_counter()
     acc = fn(x)
-    _fetch(acc)
+    _fetch_probe(acc)
     compile_s = time.perf_counter() - t0
 
     for _ in range(max(warmup - 1, 0)):
         acc = fn(acc)
-    _fetch(acc)
+    _fetch_probe(acc)
 
     lat = []
     iters = 0
@@ -91,7 +110,7 @@ def measure_chained(
         t1 = time.perf_counter()
         for _ in range(chunk):
             acc = fn(acc)
-        _fetch(acc)
+        _fetch_probe(acc)
         t2 = time.perf_counter()
         lat.append((t2 - t1) / chunk)
         iters += chunk
@@ -122,17 +141,17 @@ def measure_roundtrip(
     deployment host->device->host pattern. Honest through the tunnel (the
     fetch forces completion) but dominated by link RTT on remote setups."""
     t0 = time.perf_counter()
-    _fetch(fn(*args))
+    _fetch_all(fn(*args))
     compile_s = time.perf_counter() - t0
     for _ in range(max(warmup - 1, 0)):
-        _fetch(fn(*args))
+        _fetch_all(fn(*args))
     lat = []
     iters = 0
     start = time.perf_counter()
     deadline = start + duration_s
     while True:
         t1 = time.perf_counter()
-        _fetch(fn(*args))
+        _fetch_all(fn(*args))
         t2 = time.perf_counter()
         lat.append(t2 - t1)
         iters += 1

@@ -25,7 +25,11 @@ def main() -> int:
     from fs_uae_image_enhancer_project_tpu.utils.compile_cache import (
         enable_persistent_cache,
     )
+    from fs_uae_image_enhancer_project_tpu.utils.platform import (
+        honor_jax_platforms_env,
+    )
 
+    honor_jax_platforms_env()  # CLI convention: JAX_PLATFORMS binds
     enable_persistent_cache()
 
     import numpy as np

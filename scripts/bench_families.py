@@ -16,19 +16,18 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-REF = "/root/reference/model"
-CKPTS = {
-    "conv6": "/root/work/train_conv6/checkpoint_best_conv6",
-    "residual_unet": "/root/work/train_unet/checkpoint_best_residual_unet",
-    "pix_shuffle_heavy": "/root/work/train_psh/checkpoint_best_pix_shuffle",
-}
+from common import REF, TRAINED_CKPTS as CKPTS  # noqa: E402
 
 
 def main() -> int:
     from fs_uae_image_enhancer_project_tpu.utils.compile_cache import (
         enable_persistent_cache,
     )
+    from fs_uae_image_enhancer_project_tpu.utils.platform import (
+        honor_jax_platforms_env,
+    )
 
+    honor_jax_platforms_env()  # CLI convention: JAX_PLATFORMS binds
     enable_persistent_cache()
 
     import numpy as np

@@ -15,6 +15,11 @@ def main() -> int:
         enable_persistent_cache,
     )
 
+    from fs_uae_image_enhancer_project_tpu.utils.platform import (
+        honor_jax_platforms_env,
+    )
+
+    honor_jax_platforms_env()  # CLI convention: JAX_PLATFORMS binds
     enable_persistent_cache()  # Mosaic compiles here run 10-20 min; cache them
 
     import numpy as np

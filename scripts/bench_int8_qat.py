@@ -30,7 +30,11 @@ def main() -> int:
     from fs_uae_image_enhancer_project_tpu.utils.compile_cache import (
         enable_persistent_cache,
     )
+    from fs_uae_image_enhancer_project_tpu.utils.platform import (
+        honor_jax_platforms_env,
+    )
 
+    honor_jax_platforms_env()  # CLI convention: JAX_PLATFORMS binds
     enable_persistent_cache()
 
     import numpy as np
@@ -48,9 +52,7 @@ def main() -> int:
     duration = float(os.environ.get("BENCH_DURATION_S", "10"))
     qat_steps = int(os.environ.get("QAT_STEPS", "300"))
 
-    def psnr(a, b):
-        mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
-        return round(99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse), 2)
+    from common import psnr_u8 as psnr
 
     # ---- conv3_heavy: import shipped deployed weights --------------------
     imp = import_any(f"{REF}/model_conv3_heavy/conv3_heavy.onnx")

@@ -69,7 +69,16 @@ def _run(a, w, grid):
 
 
 def main() -> int:
+    from fs_uae_image_enhancer_project_tpu.utils.compile_cache import (
+        enable_persistent_cache,
+    )
+    from fs_uae_image_enhancer_project_tpu.utils.platform import (
+        honor_jax_platforms_env,
+    )
     from fs_uae_image_enhancer_project_tpu.utils.profiler import measure_chained
+
+    honor_jax_platforms_env()  # CLI convention: JAX_PLATFORMS binds
+    enable_persistent_cache()  # Mosaic kernel compiles are 10-20 min; cache
 
     rng = np.random.default_rng(0)
     grid = 64
@@ -85,7 +94,9 @@ def main() -> int:
         a = jnp.asarray(rng.normal(0, 1, (m, k)).astype(np.float32))
         w = jnp.asarray(rng.normal(0, 0.05, (k, n)).astype(np.float32)).astype(jnp.bfloat16)
         fn = lambda t, w=w: _run(t, w, grid)
-        res = measure_chained(fn, a, warmup=3, duration_s=4.0, chunk=20)
+        # chunk=100 keeps the tunnel RTT/chunk adder well under the
+        # ms-scale per-call signal (docs/PERF.md "RTT adder")
+        res = measure_chained(fn, a, warmup=3, duration_s=4.0, chunk=100)
         macs = m * k * n * REPS * grid
         tflops = 2 * macs / (res.ms_per_call * 1e-3) / 1e12
         print(

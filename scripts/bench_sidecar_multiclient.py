@@ -63,6 +63,14 @@ def start_server(sock: str, depth: int, max_clients: int) -> subprocess.Popen:
 
 
 def drive_client(sock: str, seconds: float, result: dict) -> None:
+    try:
+        _drive_client(sock, seconds, result)
+    except Exception as e:  # recorded, not swallowed by threading
+        result["error"] = f"{type(e).__name__}: {e}"
+        print(f"client failed: {result['error']}", flush=True)
+
+
+def _drive_client(sock: str, seconds: float, result: dict) -> None:
     from fs_uae_image_enhancer_project_tpu.runtime.sidecar import SidecarClient
 
     rng = np.random.default_rng(0)
@@ -101,10 +109,18 @@ def measure(sock: str, n_clients: int, seconds: float) -> dict:
     for t in threads:
         t.join()
     wall = time.perf_counter() - t0
-    total_frames = sum(r["frames"] for r in results)
+    # a client thread that died (handshake error, reset) leaves its dict
+    # empty; report the failure instead of crashing on KeyError and
+    # discarding the completed clients' measurements
+    ok = [r for r in results if "frames" in r]
+    failed = n_clients - len(ok)
+    if failed:
+        print(f"WARNING: {failed}/{n_clients} client(s) failed", flush=True)
+    total_frames = sum(r["frames"] for r in ok)
     return {
         "clients": n_clients,
-        "per_client_fps": [round(r["fps"], 3) for r in results],
+        "clients_failed": failed,
+        "per_client_fps": [round(r["fps"], 3) for r in ok],
         "aggregate_fps": round(total_frames / wall, 3),
         "total_frames": total_frames,
         "wall_s": round(wall, 2),

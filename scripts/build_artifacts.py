@@ -17,16 +17,10 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-REF = "/root/reference/model"
+from common import REF, TRAINED_CKPTS, psnr_u8 as _psnr  # noqa: E402
+
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                    "artifacts")
-
-
-def _psnr(a, b) -> float:
-    import numpy as np
-
-    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
-    return round(99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse), 2)
 
 
 def build_conv_stack_artifacts() -> None:
@@ -208,14 +202,6 @@ def build_pix_shuffle_heavy_artifact() -> None:
 # the builders fall back to fresh-init when absent so the script still runs
 # in a bare environment — but never silently downgrade committed trained
 # artifacts: the report's "weights" field always states which was used.
-TRAINED_CKPTS = {
-    "conv6": "/root/work/train_conv6/checkpoint_best_conv6",
-    "residual_unet": "/root/work/train_unet/checkpoint_best_residual_unet",
-    # trainer names the file by family (without the variant suffix)
-    "pix_shuffle_heavy": "/root/work/train_psh/checkpoint_best_pix_shuffle",
-}
-
-
 def _family_params(name, m):
     """(params, weights_description) — trained checkpoint if available."""
     import jax
@@ -238,7 +224,9 @@ def _family_params(name, m):
 def build_conv6_artifact() -> None:
     """conv6 deployment artifact (the reference never shipped the module,
     let alone weights): fp32 graph from the trained checkpoint when
-    available, verified on a 160x160 crop vs the native jax path."""
+    available, verified by _verify_8_samples (8 full 576x752 frames through
+    the numpy runner vs the native jax path — the unified evidence schema;
+    budget minutes of runtime on this single-CPU VM)."""
     import numpy as np
 
     import jax
@@ -275,10 +263,11 @@ def build_conv6_artifact() -> None:
 def build_residual_unet_artifact() -> None:
     """Residual U-Net deployment artifact (fresh-init — the reference has
     no unet export path or artifacts at all; torch2onnx.py covers only the
-    conv/pix_shuffle families). fp32 graph, verified by round-tripping
-    against the native jax path on a 160x160 crop (full-frame numpy-runner
-    execution of a depth-3 unet costs minutes; convs are local so the crop
-    is equivalent — crop side must divide 2^depth)."""
+    conv/pix_shuffle families). fp32 graph, verified by _verify_8_samples
+    (8 full 576x752 frames through the numpy runner vs the native jax path
+    — the unified evidence schema; full-frame numpy-runner execution of a
+    depth-3 unet costs minutes per frame on this single-CPU VM, accepted
+    as the price of uniform evidence)."""
     import numpy as np
 
     import jax

@@ -131,7 +131,10 @@ def main(argv=None) -> int:
                         "reference shipped pix_shuffle.onnx"))
 
     # 2. this framework's 50-epoch plateau checkpoint (same topology)
-    ck = os.path.join("artifacts", "training_parity", "plateau_full",
+    # anchored to the repo root so the script works from any cwd (the
+    # unattended chained pipeline runs it with an absolute script path)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ck = os.path.join(repo, "artifacts", "training_parity", "plateau_full",
                       "checkpoint_best_pix_shuffle")
     params = load_params(ck, base.init(jax.random.key(0)))
     rows.append(run_row(base, params,

@@ -421,3 +421,183 @@ def test_export_cli_conv3_bn_checkpoint(tmp_path):
                    "--output", out, "--fp32"])
     assert rc == 0
     assert os.path.getsize(out) > 50_000
+
+
+def test_import_any_dispatches_native_families(tmp_path):
+    """import_any routes our own conv6/unet artifacts by graph name.
+
+    Regression: dispatch was solely 'has DepthToSpace', which imported
+    conv6 (no shuffle) as a plain conv_stack and residual_unet (has a
+    DepthToSpace) as pix_shuffle — both crashed opaquely downstream."""
+    from fs_uae_image_enhancer_project_tpu.export.onnx_export import (
+        export_conv6_onnx, export_residual_unet_onnx,
+    )
+    from fs_uae_image_enhancer_project_tpu.export.onnx_import import (
+        import_any,
+    )
+    from fs_uae_image_enhancer_project_tpu.models import get_model
+
+    m = get_model("conv6")
+    p1 = str(tmp_path / "c6.onnx")
+    export_conv6_onnx(m.init(jax.random.key(0)), m.config, p1,
+                      frame_h=24, frame_w=40)
+    imp = import_any(p1)
+    assert imp.kind == "conv6"
+    assert set(imp.params) >= {"conv1", "conv7"}
+
+    mu = get_model("residual_unet", "lightweight")
+    p2 = str(tmp_path / "un.onnx")
+    export_residual_unet_onnx(mu.init(jax.random.key(1)), mu.config, p2,
+                              crop_left=16, frame_h=32, frame_w=80)
+    impu = import_any(p2)
+    assert impu.kind == "residual_unet"
+    assert impu.crop_left == 16
+    assert "enc0_block0" in impu.params
+
+
+def test_enhance_from_onnx_native_families_roundtrip(tmp_path):
+    """enhance_from_onnx reconstructs conv6/unet artifacts bit-exactly
+    (fp32 export; the jax forward on re-imported params is the same
+    program on the same numbers)."""
+    from fs_uae_image_enhancer_project_tpu.export.enhance import (
+        enhance_from_onnx,
+    )
+    from fs_uae_image_enhancer_project_tpu.export.onnx_export import (
+        export_conv6_onnx, export_residual_unet_onnx,
+    )
+    from fs_uae_image_enhancer_project_tpu.models import get_model
+
+    rng = np.random.default_rng(7)
+
+    m = get_model("conv6")
+    params = m.init(jax.random.key(2))
+    p1 = str(tmp_path / "c6.onnx")
+    export_conv6_onnx(params, m.config, p1, frame_h=24, frame_w=40)
+    frame = jnp.asarray(rng.integers(0, 256, (1, 24, 40, 4), np.uint8))
+    native = make_enhance_fn(m.apply, params, crop_left=0, donate=False)
+    rt = enhance_from_onnx(p1, donate=False)
+    np.testing.assert_array_equal(np.asarray(native(frame)),
+                                  np.asarray(rt(frame)))
+
+    mu = get_model("residual_unet", "lightweight")
+    pu = mu.init(jax.random.key(3))
+    p2 = str(tmp_path / "un.onnx")
+    export_residual_unet_onnx(pu, mu.config, p2, crop_left=0,
+                              frame_h=32, frame_w=64)
+    frame2 = jnp.asarray(rng.integers(0, 256, (1, 32, 64, 4), np.uint8))
+    native2 = make_enhance_fn(mu.apply, pu, crop_left=0, donate=False)
+    rt2 = enhance_from_onnx(p2, donate=False)
+    np.testing.assert_array_equal(np.asarray(native2(frame2)),
+                                  np.asarray(rt2(frame2)))
+
+
+def test_enhance_from_onnx_rejects_unregistered_unet_topology(tmp_path):
+    """A unet artifact whose config is not a registered variant fails with
+    a clear error instead of a KeyError deep in apply()."""
+    from fs_uae_image_enhancer_project_tpu.export.enhance import (
+        enhance_from_onnx,
+    )
+    from fs_uae_image_enhancer_project_tpu.export.onnx_export import (
+        export_residual_unet_onnx,
+    )
+    from fs_uae_image_enhancer_project_tpu.models import residual_unet
+    from fs_uae_image_enhancer_project_tpu.models.configs import (
+        ResidualUNetConfig,
+    )
+
+    cfg = ResidualUNetConfig(unet_depth=2, blocks_per_level=1,
+                             base_channels=8,
+                             internal_block_channels_ratio=1.5)
+    params = residual_unet.init(jax.random.key(4), cfg)
+    path = str(tmp_path / "tiny.onnx")
+    export_residual_unet_onnx(params, cfg, path, crop_left=0,
+                              frame_h=16, frame_w=32)
+    with pytest.raises(ValueError, match="neither residual_unet variant"):
+        enhance_from_onnx(path, donate=False)
+
+
+def test_proto_negative_and_unpacked_int_data():
+    """TensorProto numeric fields: negative int32/int64 values are 64-bit
+    two's-complement varints (must sign-convert), and repeated fields must
+    accept the unpacked (one tag per value) encoding."""
+    from fs_uae_image_enhancer_project_tpu.export import onnx_proto as op
+
+    def tensor_msg(data_fnum, values, data_type, packed):
+        out = bytearray()
+        op._put_varint_field(out, 1, 2)  # dims: [2] (one unpacked entry=2)
+        op._put_varint_field(out, 2, data_type)
+        if packed:
+            payload = bytearray()
+            for v in values:
+                op._write_varint(payload, v)
+            op._put_bytes_field(out, data_fnum, bytes(payload))
+        else:
+            for v in values:
+                op._put_varint_field(out, data_fnum, v)
+        op._put_bytes_field(out, 8, b"t")
+        return bytes(out)
+
+    # packed negative int32
+    t = op._parse_tensor(tensor_msg(5, [-3, 7], op.INT32, packed=True))
+    np.testing.assert_array_equal(t.to_numpy(), np.array([-3, 7], np.int32))
+    # unpacked negative int64
+    t = op._parse_tensor(tensor_msg(7, [-(2**40), 5], op.INT64,
+                                    packed=False))
+    np.testing.assert_array_equal(
+        t.to_numpy(), np.array([-(2**40), 5], np.int64))
+    # unpacked int32
+    t = op._parse_tensor(tensor_msg(5, [1, -1], op.INT32, packed=False))
+    np.testing.assert_array_equal(t.to_numpy(), np.array([1, -1], np.int32))
+
+
+def test_runner_rejects_unsupported_conv_attributes(tmp_path):
+    """The numpy runner is the parity truth: Conv attributes it does not
+    implement (dilations, auto_pad, mismatched kernel_shape) raise instead
+    of silently computing a different function."""
+    from fs_uae_image_enhancer_project_tpu.export.onnx_proto import (
+        FLOAT, GraphBuilder,
+    )
+
+    def graph(path, **conv_attrs):
+        b = GraphBuilder("g")
+        b.add_input("x", FLOAT, (1, 1, 4, 4))
+        b.add_initializer("w", np.ones((1, 1, 3, 3), np.float32))
+        b.add_node("Conv", ["x", "w"], ["y"], strides=[1, 1],
+                   pads=[1, 1, 1, 1], **conv_attrs)
+        b.add_output("y", FLOAT, (1, 1, 4, 4))
+        with open(path, "wb") as f:
+            f.write(b.serialize_model(opset=13))
+        return path
+
+    x = {"x": np.ones((1, 1, 4, 4), np.float32)}
+    ok = graph(str(tmp_path / "ok.onnx"), kernel_shape=[3, 3])
+    assert run_model(ok, x)["y"].shape == (1, 1, 4, 4)
+    with pytest.raises(NotImplementedError, match="dilations"):
+        run_model(graph(str(tmp_path / "d.onnx"), dilations=[2, 2]), x)
+    with pytest.raises(NotImplementedError, match="kernel_shape"):
+        run_model(graph(str(tmp_path / "k.onnx"), kernel_shape=[1, 1]), x)
+
+
+def test_exporter_emits_per_axis_kernel_shape(tmp_path):
+    """Non-square conv kernels export with per-axis kernel_shape/pads
+    (previously both were derived from the H axis alone)."""
+    from fs_uae_image_enhancer_project_tpu.export.onnx_export import (
+        _ModelEmitter,
+    )
+    from fs_uae_image_enhancer_project_tpu.export.onnx_proto import (
+        FLOAT, GraphBuilder, load_model,
+    )
+
+    b = GraphBuilder("g")
+    b.add_input("x", FLOAT, (1, 2, 8, 8))
+    em = _ModelEmitter(
+        b, {"c": {"w": np.zeros((1, 3, 2, 4), np.float32)}}, FLOAT)
+    y = em.conv("c", "x")
+    b.add_output(y, FLOAT, (1, 4, 8, 8))
+    path = str(tmp_path / "nsq.onnx")
+    with open(path, "wb") as f:
+        f.write(b.serialize_model(opset=13))
+    node = [n for n in load_model(path).graph.nodes
+            if n.op_type == "Conv"][0]
+    assert node.attr("kernel_shape") == [1, 3]
+    assert node.attr("pads") == [0, 1, 0, 1]

@@ -147,3 +147,40 @@ def test_spatial_sharding_matches_single_device(devices8):
         )
     )
     np.testing.assert_allclose(y_sharded, y_single, atol=2e-5, rtol=1e-5)
+
+
+def test_make_mesh_rejects_oversubscription(devices8):
+    """Asking for more devices than exist fails with device arithmetic, not
+    an opaque numpy reshape error (devs[:n] used to silently truncate)."""
+    with pytest.raises(ValueError, match="only"):
+        make_mesh(16)
+
+
+def test_make_sharded_enhance_unwraps_jitted_default(devices8):
+    """make_sharded_enhance accepts the library-default enhance fn (jitted
+    with a donated arg): the inner jit is unwrapped, so the outer sharded
+    jit neither warns about unusable donations nor changes results."""
+    import warnings
+
+    from fs_uae_image_enhancer_project_tpu.export.enhance import (
+        make_enhance_fn,
+    )
+    from fs_uae_image_enhancer_project_tpu.parallel.inference import (
+        make_sharded_enhance,
+    )
+
+    mesh = make_mesh(8, sp=1)
+    m = get_model("pix_shuffle")
+    params = m.init(jax.random.key(0))
+    jitted = make_enhance_fn(m.apply, params, crop_left=0,
+                             donate=True, jit=True)
+    raw = make_enhance_fn(m.apply, params, crop_left=0,
+                          donate=False, jit=False)
+    sharded, shard_batch = make_sharded_enhance(jitted, mesh)
+    frames = np.random.default_rng(1).integers(
+        0, 256, (8, 16, 32, 4), np.uint8)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", UserWarning)
+        out = np.asarray(sharded(shard_batch(frames)))
+    ref = np.asarray(jax.jit(raw)(jnp.asarray(frames)))
+    np.testing.assert_array_equal(out, ref)

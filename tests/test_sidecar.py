@@ -306,3 +306,36 @@ def test_python_replay_loops_output_mapping(tmp_path):
         np.testing.assert_array_equal(saved[..., :3], 255 - f[..., :3])
     thread.join(timeout=30)
     assert not thread.is_alive()
+
+
+def test_drain_is_eager_even_when_result_ignored(server):
+    """drain() flushes in-flight frames even if the caller never iterates
+    the result (it was a generator whose OP_DRAIN send only happened on
+    first iteration, silently dropping frames and desyncing _pending)."""
+    from fs_uae_image_enhancer_project_tpu.runtime.sidecar import SidecarClient
+
+    client = SidecarClient(server)
+    frames = _frames(3, seed=4)
+    for f in frames[:2]:  # fill the depth-2 pipeline, read nothing
+        assert client.submit(f) is None
+    client.drain()  # result intentionally discarded
+    assert client._pending == 0
+    # the session is back in sync: a fresh depth-2 cycle behaves like new
+    outs = [client.submit(f) for f in frames]
+    assert outs[0] is None and outs[1] is None and outs[2] is not None
+    tail = client.drain()
+    assert isinstance(tail, list) and len(tail) == 2
+    client.close()
+
+
+def test_server_rejects_unencodable_geometry():
+    """depth/height/width outside the handshake's u8/u16 ranges fail at
+    construction, not as a struct.error after minutes of warmup."""
+    from fs_uae_image_enhancer_project_tpu.runtime.sidecar import (
+        SidecarServer,
+    )
+
+    with pytest.raises(ValueError, match="depth"):
+        SidecarServer(lambda x: x, "/tmp/unused.sock", depth=256)
+    with pytest.raises(ValueError, match="u16"):
+        SidecarServer(lambda x: x, "/tmp/unused.sock", height=70000)
