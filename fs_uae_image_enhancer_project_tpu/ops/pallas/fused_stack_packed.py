@@ -398,7 +398,9 @@ def _run_stack(x_grouped: jnp.ndarray, *weight_args, interpret: bool,
     kernel = functools.partial(
         _stack_kernel, wq=wq, h_half=h_out, w_valid=w_valid
     )
-    space = pltpu.ANY if interpret else pltpu.VMEM
+    # pl.ANY (pltpu.ANY is deprecated); fall back for older jax
+    any_space = getattr(pl, "ANY", None) or pltpu.ANY
+    space = any_space if interpret else pltpu.VMEM
     in_specs = [pl.BlockSpec((hp, wq, 48), lambda i: (0, 0, 0), memory_space=space)]
     for arg in weight_args:
         in_specs.append(
