@@ -20,7 +20,10 @@ import numpy as np
 
 from fs_uae_image_enhancer_project_tpu.ops.conv import conv2d, init_conv
 
-KERNELS = [1, 3, 5, 7]
+# the reference grid includes even kernels (benchmark_kernel_sizes.py
+# kernel {1,2,3,4,5,7}); conv2d uses padding="SAME" so even kernels keep
+# the spatial shape (asymmetric pad) and chained timing stays valid
+KERNELS = [1, 2, 3, 4, 5, 7]
 CHANNELS = [12, 24, 36, 48, 72, 96, 144]
 
 
