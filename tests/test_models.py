@@ -242,3 +242,60 @@ def test_pix_shuffle_heavyweight_skip_projections():
     assert "b" not in p["skip1_proj"]  # bias-free (reference :128)
     x = jax.random.uniform(KEY, (1, 16, 16, 3), jnp.float32)
     assert ps.apply(p, x, cfg).shape == x.shape
+
+
+def test_dense_block_matches_reference_golden():
+    """Bit-level parity with the reference's actual ResidualDenseBlock
+    (torch goldens from tests/golden_gen/gen_dense_block_goldens.py —
+    the reference module executed with a triplet_attention stub):
+    matching-channels (no residual), adjusted-residual, and
+    channel-resolved-PReLU configurations."""
+    import os
+
+    import numpy as np
+
+    path = os.path.join(os.path.dirname(__file__), "goldens",
+                        "dense_block_goldens.npz")
+    g = np.load(path)
+
+    def build(tag, n_convs, has_adjust, prelu_slot1=False):
+        p = {}
+        for i in range(n_convs):
+            p[f"conv{i + 1}"] = {
+                "w": np.transpose(g[f"{tag}_w_dense_layers.{3 * i}.weight"],
+                                  (2, 3, 1, 0)),
+                "b": g[f"{tag}_w_dense_layers.{3 * i}.bias"],
+            }
+            if prelu_slot1:
+                p[f"l{i + 1}_act1"] = {
+                    "slope": g[f"{tag}_w_dense_layers.{3 * i + 1}.weight"]
+                    .reshape(-1)
+                }
+            else:
+                p[f"l{i + 1}_act1"] = {}
+            p[f"l{i + 1}_act2"] = {}
+        p["fusion"] = {
+            "w": np.transpose(g[f"{tag}_w_dense_feature_fusion.weight"],
+                              (2, 3, 1, 0)),
+            "b": g[f"{tag}_w_dense_feature_fusion.bias"],
+        }
+        if has_adjust:
+            p["adjust"] = {
+                "w": np.transpose(
+                    g[f"{tag}_w_local_residual_adjustment.weight"],
+                    (2, 3, 1, 0)),
+                "b": g[f"{tag}_w_local_residual_adjustment.bias"],
+            }
+        return jax.tree.map(jnp.asarray, p)
+
+    for tag, n_convs, has_adjust, acts in [
+        ("match", 3, False, blocks.DENSE_DEFAULT_ACTS),
+        ("adjust", 2, True, blocks.DENSE_DEFAULT_ACTS),
+        ("prelu", 2, False,
+         (("prelu", (("num_parameters", "channel"),)), ("identity", ()))),
+    ]:
+        p = build(tag, n_convs, has_adjust, prelu_slot1=(tag == "prelu"))
+        x = jnp.asarray(np.transpose(g[f"{tag}_x"], (0, 2, 3, 1)))
+        y = blocks.apply_dense_block(p, x, n_convs=n_convs, acts=acts)
+        ref = np.transpose(g[f"{tag}_y"], (0, 2, 3, 1))
+        np.testing.assert_allclose(np.asarray(y), ref, atol=2e-5, rtol=1e-5)
