@@ -299,3 +299,51 @@ def test_dense_block_matches_reference_golden():
         y = blocks.apply_dense_block(p, x, n_convs=n_convs, acts=acts)
         ref = np.transpose(g[f"{tag}_y"], (0, 2, 3, 1))
         np.testing.assert_allclose(np.asarray(y), ref, atol=2e-5, rtol=1e-5)
+
+
+def test_feature_block_matches_reference_golden():
+    """Bit-level parity with the reference's actual ResidualFeatureBlock
+    (torch goldens from tests/golden_gen/gen_feature_block_goldens.py):
+    plain config and projected-residual config with channel/global PReLU
+    resolution at mid/out widths."""
+    import os
+
+    import numpy as np
+
+    g = np.load(os.path.join(os.path.dirname(__file__), "goldens",
+                             "feature_block_goldens.npz"))
+
+    def conv(tag, name):
+        return {
+            "w": jnp.asarray(np.transpose(g[f"{tag}_w_{name}.weight"],
+                                          (2, 3, 1, 0))),
+            "b": jnp.asarray(g[f"{tag}_w_{name}.bias"]),
+        }
+
+    # plain: in=8 mid=12 out=8, default acts
+    p = {f"conv{i}": conv("plain", f"conv{i}") for i in (1, 2, 3)}
+    p.update({f"act{i}": {} for i in (1, 2, 3, 4)})
+    x = jnp.asarray(np.transpose(g["plain_x"], (0, 2, 3, 1)))
+    y = blocks.apply_feature_block(p, x, blocks.DEFAULT_BLOCK_ACTS, 12, 8)
+    np.testing.assert_allclose(
+        np.asarray(y), np.transpose(g["plain_y"], (0, 2, 3, 1)),
+        atol=2e-5, rtol=1e-5)
+
+    # proj: in=8 mid=12 out=16, channel prelu act2 / global prelu act4
+    acts = (("identity", ()),
+            ("prelu", (("num_parameters", "channel"),)),
+            ("identity", ()),
+            ("prelu", (("num_parameters", "global"),)))
+    p2 = {f"conv{i}": conv("proj", f"conv{i}") for i in (1, 2, 3)}
+    p2["act1"] = {}
+    p2["act2"] = {"slope": jnp.asarray(
+        g["proj_w_act2.weight"].reshape(-1))}
+    p2["act3"] = {}
+    p2["act4"] = {"slope": jnp.asarray(
+        g["proj_w_act4.weight"].reshape(-1))}
+    p2["proj"] = conv("proj", "proj_conv")
+    x2 = jnp.asarray(np.transpose(g["proj_x"], (0, 2, 3, 1)))
+    y2 = blocks.apply_feature_block(p2, x2, acts, 12, 16)
+    np.testing.assert_allclose(
+        np.asarray(y2), np.transpose(g["proj_y"], (0, 2, 3, 1)),
+        atol=2e-5, rtol=1e-5)
