@@ -246,3 +246,40 @@ def test_device_prefetch_producer_exits_on_early_consumer_exit(tmp_path):
     while threading.active_count() > n_before and time.time() < deadline:
         time.sleep(0.05)
     assert threading.active_count() <= n_before
+
+
+def test_gather_matches_reference_golden(tmp_path):
+    """Behavioral parity with the reference's actual
+    gather_all_samples_from_directory (srdataset.py:141-244), pinned by
+    tests/golden_gen/gen_gather_goldens.py: the tree spec exercises
+    negative crops/rotations, pal 'None', hyphenated dithers, underscored
+    resolutions (lores_laced), wrong-size-target group drops, orphan
+    styled files, unparseable noise, root-level skips, and the
+    styles_to_include substring filter."""
+    import json
+
+    from PIL import Image
+
+    golden = json.load(open(os.path.join(
+        os.path.dirname(__file__), "goldens", "gather_goldens.json")))
+    base = tmp_path / "split"
+    for subdir, name, size in golden["tree"]:
+        d = base / subdir if subdir else base
+        d.mkdir(parents=True, exist_ok=True)
+        path = d / name
+        if name.endswith(".png"):
+            Image.new("RGB", tuple(size), (1, 2, 3)).save(path)
+        else:
+            path.write_bytes(b"not an image")
+
+    def rel_pairs(styles):
+        pairs = gather_all_samples_from_directory(
+            str(base), tuple(golden["crop"]), styles_to_include=styles,
+            verbose=0)
+        return sorted(
+            [os.path.relpath(s, base), os.path.relpath(t, base)]
+            for s, t in pairs
+        )
+
+    assert rel_pairs(None) == golden["pairs_all"]
+    assert rel_pairs({"rgb444"}) == golden["pairs_rgb444"]
