@@ -298,3 +298,46 @@ def test_same_named_sources_in_subdirs_do_not_collide(tmp_path):
     # re-run is a no-op (diff idempotence preserved with hashed bases)
     res2 = DatasetGenerator(cfg).run()
     assert res2["generated_this_run"] == 0
+
+
+def test_geometry_matches_reference_golden():
+    """Byte-level parity with the reference's actual geometry functions
+    (dataset_generator/util.py via tests/golden_gen/gen_geometry_goldens.py):
+    black-ratio threshold boundary (exactly 75% black IS discarded),
+    crop+pad incl. negative/out-of-bounds coords, supersampled rotation,
+    LANCZOS downscaling (100% returns a copy), and all four resolution
+    styles pre+post."""
+    import os
+
+    import numpy as np
+
+    g = np.load(os.path.join(os.path.dirname(__file__), "goldens",
+                             "geometry_goldens.npz"))
+    img = Image.fromarray(g["src"], "RGB")
+
+    assert should_discard_by_black_ratio(
+        Image.fromarray(g["black75"])) == bool(g["black75_discard"])
+    assert should_discard_by_black_ratio(
+        Image.fromarray(g["black76"])) == bool(g["black76_discard"])
+
+    crops = [(0, 0, 32, 24), (-8, -4, 32, 24), (48, 40, 32, 24),
+             (60, 44, 8, 8)]
+    for i, (x, y, w, h) in enumerate(crops):
+        np.testing.assert_array_equal(
+            np.asarray(get_crop_and_pad(img, x, y, w, h)), g[f"crop{i}"],
+            err_msg=f"crop{i}")
+    for a in (0, 20, 45, 80):
+        np.testing.assert_array_equal(
+            np.asarray(apply_rotation(img, a)), g[f"rot{a}"],
+            err_msg=f"rot{a}")
+    for s in (40, 75, 100):
+        np.testing.assert_array_equal(
+            np.asarray(apply_downscaling(img, s)), g[f"scale{s}"],
+            err_msg=f"scale{s}")
+    for st in ("lores", "hires", "lores_laced", "hires_laced"):
+        low = pre_apply_resolution_style(img, st)
+        np.testing.assert_array_equal(
+            np.asarray(low), g[f"pre_{st}"], err_msg=f"pre_{st}")
+        np.testing.assert_array_equal(
+            np.asarray(post_apply_resolution_style(low, st)),
+            g[f"post_{st}"], err_msg=f"post_{st}")
