@@ -53,7 +53,12 @@ def construct_filename(params: Dict[str, Any], is_target: bool) -> str:
     pal_str = str(params["pal"]) if params["pal"] is not None else "None"
     rgb = params["rgb"]
     rgb_num = rgb[3:] if isinstance(rgb, str) and rgb.upper().startswith("RGB") else rgb
-    return f"{params['resolution']}_{stem}_rgb{rgb_num}_p{pal_str}_d{params['dither']}.png"
+    # no-dither is spelled 'None' on the wire (the reference's spec space
+    # carries the capitalized string into construct_filename; its parser
+    # normalizes case back — srdataset.py:342)
+    dither = params["dither"]
+    dither_str = "None" if str(dither).lower() == "none" else str(dither)
+    return f"{params['resolution']}_{stem}_rgb{rgb_num}_p{pal_str}_d{dither_str}.png"
 
 
 def parse_generated_filename(filename: str) -> Optional[Dict[str, Any]]:

@@ -70,7 +70,7 @@ class CropSpec:
     image_base: str  # subdirectory name (image filename without ext)
     crop_x: int
     crop_y: int
-    scale_perc: int  # 100 = no downscale
+    scale_perc: int  # 0 (reference spelling) or 100 = no downscale
     rot_deg: int
 
     def params(self) -> dict:
@@ -94,7 +94,15 @@ class GeneratorConfig:
     palettes: Sequence[Optional[int]] = (32,)  # 0/None = no palette
     dithers: Sequence[str] = ("none",)
     rotations: Sequence[int] = (0,)
-    downscales: Sequence[int] = (100,)  # percent; 100 = none
+    # percent; 0 = none (the reference's spelling — its --downscale
+    # default is 0 and filenames encode s0; 100 is accepted as an alias
+    # and canonicalized to 0 so pre-existing s100 corpora keep matching)
+    downscales: Sequence[int] = (0,)
+    # crop grid: 'tile' = the reference's live scan (non-overlapping
+    # crop-sized tiling from the origin, generator.py:209-211); 'overlap' =
+    # the centered 20%-overlap grid (reference generator.py:68-117 — dead
+    # code upstream, kept as an opt-in because it yields ~1.5x more crops)
+    grid: str = "tile"
     palette_algorithm: str = "kmeans"
     # 'numpy' (default; multi-process friendly) or 'pallas' (on-device fused
     # dither for the vectorizable families — use with workers=1, the single
@@ -117,22 +125,56 @@ class GeneratorConfig:
     assume_yes: bool = True  # non-interactive delete of invalid files
     verbose: int = 1
 
+    def __post_init__(self):
+        # canonicalize the no-downscale spelling everywhere (specs,
+        # filenames, scan-cache keys): 100 -> 0 (reference spelling)
+        self.downscales = tuple(
+            0 if d == 100 else d for d in self.downscales
+        )
+
     def style_combos(self) -> List[StyleCombo]:
-        combos = []
+        combos: List[StyleCombo] = []
+        seen = set()
+
+        def _add(res, cs, pal, dit):
+            # the reference collects characteristics in a SET; the pal-None
+            # checkerboard->none conversion can produce duplicates
+            key = (res, cs, pal, dit)
+            if key not in seen:
+                seen.add(key)
+                combos.append(StyleCombo(res, cs, pal, dit))
+
         for res in self.resolutions:
             if res not in SUPPORTED_RESOLUTION_STYLES:
                 raise ValueError(f"unknown resolution style {res}")
             for cs in self.colorspaces:
                 if cs not in VALID_COLOR_SPACES:
                     raise ValueError(f"unknown colorspace {cs}")
+                for dit in self.dithers:
+                    if dit not in valid_dither_methods():
+                        raise ValueError(f"unknown dither {dit}")
+                if not self.palettes:
+                    # Case A (reference generator.py:784-795): --palette
+                    # absent -> exactly ONE non-palette combo per colorspace;
+                    # 'none' wins over 'checkerboard', any other dither
+                    # yields nothing (pinned byte-level by goldens runs A/C)
+                    if "none" in self.dithers:
+                        _add(res, cs, None, "none")
+                    elif "checkerboard" in self.dithers:
+                        _add(res, cs, None, "checkerboard")
+                    continue
+                # Case B (reference generator.py:797-831): product over
+                # palettes x dithers; a pal-0/None entry converts
+                # checkerboard to the 'none' combo and filters every other
+                # dither ("dithering requires a palette")
                 for pal in self.palettes:
                     pal_n = None if not pal else int(pal)
                     for dit in self.dithers:
-                        if dit not in valid_dither_methods():
-                            raise ValueError(f"unknown dither {dit}")
-                        if dit != "none" and pal_n is None:
-                            continue  # dithering requires a palette
-                        combos.append(StyleCombo(res, cs, pal_n, dit))
+                        if pal_n is None:
+                            if dit in ("none", "checkerboard"):
+                                _add(res, cs, None, "none")
+                            continue
+                        _add(res, cs, pal_n, dit)
         return combos
 
 
@@ -146,7 +188,7 @@ def _prepare_base(image_path: str, rot: int, scale: int, crop, crop_w, crop_h):
     with Image.open(image_path) as img:
         img = img.convert("RGB")
         img = apply_rotation(img, rot, supersample_factor=2)
-        if scale != 100:
+        if 0 < scale < 100:  # 0 and 100 both mean no downscale
             img = apply_downscaling(img, scale)
         return get_crop_and_pad(img, crop[0], crop[1], crop_w, crop_h)
 
@@ -204,17 +246,24 @@ def save_styled_worker(args) -> Tuple[str, Optional[str]]:
 def scan_image_task(args) -> List[Tuple[int, int]]:
     """Find valid crop coordinates for one (image, rot, ds): NEAREST-rotate
     (fast scan), downscale, grid coords, black-ratio filter
-    (generator.py:161-227)."""
+    (generator.py:161-227). grid='tile' reproduces the reference's live
+    scan exactly (crop-sized steps from the origin, y-outer order);
+    'overlap' is the centered 20%-overlap grid."""
     from PIL import Image
 
-    image_path, rot, scale, crop_w, crop_h, threshold = args
+    image_path, rot, scale, crop_w, crop_h, threshold, grid = args
     with Image.open(image_path) as img:
         img = img.convert("RGB")
         if rot % 360:
             img = img.rotate(rot, resample=Image.Resampling.NEAREST)
-        if scale != 100:
+        if 0 < scale < 100:
             img = apply_downscaling(img, scale)
-        coords = calculate_grid_coords(img.size[0], img.size[1], crop_w, crop_h)
+        w, h = img.size
+        if grid == "overlap":
+            coords = calculate_grid_coords(w, h, crop_w, crop_h)
+        else:
+            coords = [(x, y) for y in range(0, h - crop_h + 1, crop_h)
+                      for x in range(0, w - crop_w + 1, crop_w)]
         valid = []
         for (x, y) in coords:
             crop = get_crop_and_pad(img, x, y, crop_w, crop_h)
@@ -292,7 +341,8 @@ class DatasetGenerator:
             cached = self.cache.get(key, p)
             if cached is None:
                 cached = scan_image_task(
-                    (p, rot, ds, cfg.crop_w, cfg.crop_h, cfg.black_ratio_threshold)
+                    (p, rot, ds, cfg.crop_w, cfg.crop_h,
+                     cfg.black_ratio_threshold, cfg.grid)
                 )
                 self.cache.put(key, p, cached)
             return t, cached
@@ -317,7 +367,7 @@ class DatasetGenerator:
         )
 
     def _apply_split_quotas(
-        self, specs: List[CropSpec], existing: Set[str]
+        self, specs: List[CropSpec], existing: Dict[str, str]
     ) -> List[CropSpec]:
         """Keep at most N unique target crops per split.
 
@@ -391,25 +441,52 @@ class DatasetGenerator:
                 expected[os.path.join(d, sname)] = (s, c)
         return expected
 
-    def _scan_output(self) -> Set[str]:
-        """Existing parsable files, as dest-relative paths."""
-        existing: Set[str] = set()
+    def _scan_output(self) -> Dict[str, str]:
+        """Existing parsable files: CANONICAL dest-relative path -> actual
+        on-disk dest-relative path.
+
+        Canonicalization lets corpora written with historical spellings
+        keep satisfying specs (and protects them from orphan deletion):
+        scale 0/100 are the same no-downscale operation (the reference
+        writes s0), and no-dither is 'None' on the wire (earlier versions
+        here wrote s100/dnone). A duplicate of a canonical name (both
+        spellings on disk) keeps the first file; later duplicates are
+        reported as orphans.
+        """
+        existing: Dict[str, str] = {}
         dest = self.cfg.dest_dir
         if not os.path.isdir(dest):
             return existing
+        self._duplicate_orphans: List[str] = []
         for root, _d, files in os.walk(dest):
             rel_root = os.path.relpath(root, dest)
-            for f in files:
-                if parse_generated_filename(f) is not None:
-                    existing.add(os.path.normpath(os.path.join(rel_root, f)))
+            for f in sorted(files):
+                parsed = parse_generated_filename(f)
+                if parsed is None:
+                    continue
+                canon = dict(parsed)
+                if canon["scale_perc"] in (0, 100):
+                    canon["scale_perc"] = 0
+                cname = construct_filename(
+                    canon, is_target=parsed["type"] == "target")
+                crel = os.path.normpath(os.path.join(rel_root, cname))
+                arel = os.path.normpath(os.path.join(rel_root, f))
+                if crel in existing:
+                    self._duplicate_orphans.append(arel)
+                else:
+                    existing[crel] = arel
         return existing
 
     # -- phase 5-6 ----------------------------------------------------------
-    def _plan(self, expected: Dict[str, tuple], existing: Set[str]):
+    def _plan(self, expected: Dict[str, tuple], existing: Dict[str, str]):
         expected_set = set(map(os.path.normpath, expected.keys()))
-        to_generate = sorted(expected_set - existing)
-        orphans = sorted(existing - expected_set)
-        kept = len(expected_set & existing)
+        to_generate = sorted(expected_set - set(existing))
+        # orphans are deleted at their ACTUAL on-disk paths (a legacy-
+        # spelled file whose canonical spec exists is NOT an orphan)
+        orphans = sorted(
+            existing[c] for c in set(existing) - expected_set
+        ) + sorted(getattr(self, "_duplicate_orphans", []))
+        kept = len(expected_set & set(existing))
         self._log(
             1,
             f"plan: {kept} up-to-date, {len(to_generate)} to generate, "
@@ -556,9 +633,9 @@ class DatasetGenerator:
             return stats
         stats = {
             "expected": len(expected_set),
-            "present": len(expected_set & existing),
+            "present": len(expected_set & set(existing)),
             "generated_this_run": generated,
-            "missing": len(expected_set - existing),
+            "missing": len(expected_set - set(existing)),
             "stopped": _stop_requested,
         }
         self._log(1, f"summary: {stats}")
@@ -591,14 +668,22 @@ def main(argv: Optional[List[str]] = None) -> int:
                     choices=VALID_COLOR_SPACES)
     ap.add_argument("--rgb", type=int, nargs="*", default=None,
                     help="RGB formats as ints (reference spelling): 444 555 565 666 888")
-    ap.add_argument("--palette", type=int, nargs="*", default=[32],
-                    help="palette sizes; 0 means no palette reduction")
+    ap.add_argument("--palette", type=int, nargs="*", default=None,
+                    help="palette sizes; 0 means no palette reduction. "
+                         "Absent vs '--palette 0' differ like the "
+                         "reference: absent allows a bare checkerboard "
+                         "combo, 0 converts checkerboard to none")
     ap.add_argument("--dither", nargs="*", default=["none"],
                     help=f"one of {valid_dither_methods()} (case-insensitive; "
                          "'None' accepted like the reference)")
     ap.add_argument("--rotation", "--rotate", dest="rotation", type=int,
                     nargs="*", default=[0])
-    ap.add_argument("--downscale", type=int, nargs="*", default=[100])
+    ap.add_argument("--downscale", type=int, nargs="*", default=[0],
+                    help="percentages; 0 (reference spelling) or 100 = none")
+    ap.add_argument("--grid", choices=["tile", "overlap"], default="tile",
+                    help="crop grid: 'tile' matches the reference scan; "
+                         "'overlap' is the centered 20%%-overlap grid "
+                         "(~1.5x more crops)")
     ap.add_argument("--palette_algorithm", default="kmeans")
     ap.add_argument("--quantize_backend", default="numpy",
                     choices=["numpy", "pallas"],
@@ -640,10 +725,14 @@ def main(argv: Optional[List[str]] = None) -> int:
         crop_h=args.crop_size[1],
         resolutions=tuple(args.resolution),
         colorspaces=colorspaces,
-        palettes=tuple(None if p == 0 else p for p in args.palette),
+        palettes=() if args.palette is None else tuple(
+            None if p == 0 else p for p in args.palette),
         dithers=dithers,
         rotations=tuple(args.rotation),
-        downscales=tuple(args.downscale),
+        # canonicalize the two no-downscale spellings to the
+        # reference's 0
+        downscales=tuple(0 if d == 100 else d for d in args.downscale),
+        grid=args.grid,
         palette_algorithm=args.palette_algorithm,
         quantize_backend=args.quantize_backend,
         device_batch=args.device_batch,

@@ -12,4 +12,9 @@ python -m fs_uae_image_enhancer_project_tpu.datagen.generator \
            floyd-steinberg atkinson sierra2 sierra3 stucki burkes \
   --rotation 0 20 40 60 80 \
   --downscale 40 50 60 70 80 90 \
+  --grid overlap \
   "${@:4}"
+# --grid overlap: the corpus at /root/work/dataset_lores was generated with
+# the centered 20%-overlap grid (~1.5x more crops than the reference's
+# tiling, which is the CLI default); pinning it keeps re-runs idempotent
+# against that corpus.

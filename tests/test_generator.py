@@ -341,3 +341,75 @@ def test_geometry_matches_reference_golden():
         np.testing.assert_array_equal(
             np.asarray(post_apply_resolution_style(low, st)),
             g[f"post_{st}"], err_msg=f"post_{st}")
+
+
+def test_generator_output_matches_reference_golden(tmp_path):
+    """End-to-end parity with the reference's ACTUAL generator
+    (dataset_generator/generator.py run by golden_gen/gen_generator_goldens
+    with numba/diskcache shims) on a deterministic 2-image corpus:
+
+    - run A (rgb444, dithers none+bayer2x2, no palettes): identical file
+      SET and identical BYTES — pins the reference's quirk that bayer on
+      grid quantization is silently dropped from the spec space.
+    - run B (palette 16, median_cut, three dithers): identical file set
+      (palette numerics are not cross-library reproducible; target bytes
+      still compared).
+    - run C (checkerboard only, no palettes): the reference CREATES the
+      checkerboard-on-grid spec but its own quantizer rejects it
+      ('requires target_palette_size' — upstream FIXME), so only targets
+      appear; ours raises the same error per-crop and must converge to
+      the same file set.
+    """
+    import hashlib
+    import json
+
+    import numpy as np
+
+    from fs_uae_image_enhancer_project_tpu.datagen import generator as gen
+
+    golden = json.load(open(os.path.join(
+        os.path.dirname(__file__), "goldens", "generator_goldens.json")))
+    corpus = tmp_path / "gt"
+    corpus.mkdir()
+    for name, arr in golden["corpus"]:
+        Image.fromarray(np.asarray(arr, np.uint8), "RGB").save(corpus / name)
+    w, h = golden["crop"]
+
+    def run_ours(tag, extra, expect_rc=0):
+        dest = tmp_path / f"out_{tag}"
+        rc = gen.main([
+            "--train_images", str(corpus),
+            "--dest_dir", str(dest),
+            "--crop_size", str(w), str(h),
+            "--rotation", "0",
+            "--resolution", "lores",
+            "--workers", "1",
+            "--cache_dir", str(tmp_path / f"cache_{tag}"),
+            "--verbose", "0",
+        ] + extra)
+        assert rc == expect_rc
+        out = {}
+        for root, _dirs, files in os.walk(dest):
+            for f in files:
+                p = os.path.join(root, f)
+                out[os.path.relpath(p, dest)] = hashlib.sha256(
+                    open(p, "rb").read()).hexdigest()
+        return out
+
+    ours_a = run_ours("a", ["--rgb", "444", "--dither", "none", "bayer2x2"])
+    assert ours_a == golden["files"]  # names AND bytes
+
+    ours_b = run_ours("b", ["--rgb", "444", "--palette", "16",
+                            "--dither", "none", "atkinson", "bayer2x2",
+                            "--palette_algorithm", "median_cut"])
+    assert sorted(ours_b) == sorted(golden["files_palette"])
+    for rel, sha in golden["files_palette"].items():
+        if os.path.basename(rel).startswith("target_"):
+            assert ours_b[rel] == sha, rel
+
+    # deliberate divergence: the reference exits 0 when every styled spec
+    # fails; ours exits nonzero (loud failure) while converging to the
+    # same on-disk file set
+    ours_c = run_ours("c", ["--rgb", "444", "--dither", "checkerboard"],
+                      expect_rc=1)
+    assert ours_c == golden["files_checker"]  # targets only, same bytes
