@@ -33,7 +33,7 @@ REF_DG_DIR = os.environ.get(
     "REF_DATASET_GENERATOR", "/root/reference/dataset_generator"
 )
 OUT = os.path.join(
-    os.path.dirname(__file__), "..", "goldens", "generator_goldens.json"
+    os.path.dirname(__file__), "..", "goldens", "generator_goldens.npz"
 )
 
 CROP_W, CROP_H = 64, 48
@@ -155,7 +155,7 @@ def main() -> int:
 
     golden = {
         "crop": [CROP_W, CROP_H],
-        "corpus": corpus_spec,
+        "corpus_names": [c[0] for c in corpus_spec],
         "spec_grid": {"rgb": [444], "dither": ["none", "bayer2x2"],
                       "rotate": [0], "resolution": ["lores"]},
         "spec_palette": {"rgb": [444], "palette": [16],
@@ -169,8 +169,16 @@ def main() -> int:
         "files_checker": tree_checker,
     }
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
-    with open(OUT, "w") as f:
-        json.dump(golden, f, indent=1, sort_keys=True)
+    # compact container: JSON metadata + uint8 corpus arrays (a plain JSON
+    # with pixel lists was ~1.1 MB; this npz is ~70 KB)
+    arrays = {f"corpus_{i}": np.asarray(c[1], np.uint8)
+              for i, c in enumerate(corpus_spec)}
+    np.savez_compressed(
+        OUT,
+        meta=np.frombuffer(json.dumps(golden, sort_keys=True).encode(),
+                           np.uint8),
+        **arrays,
+    )
     print(f"wrote {OUT}: {len(tree_grid)} grid, {len(tree_pal)} palette, "
           f"{len(tree_checker)} checkerboard files")
     return 0

@@ -367,12 +367,13 @@ def test_generator_output_matches_reference_golden(tmp_path):
 
     from fs_uae_image_enhancer_project_tpu.datagen import generator as gen
 
-    golden = json.load(open(os.path.join(
-        os.path.dirname(__file__), "goldens", "generator_goldens.json")))
+    blob = np.load(os.path.join(
+        os.path.dirname(__file__), "goldens", "generator_goldens.npz"))
+    golden = json.loads(bytes(blob["meta"]).decode())
     corpus = tmp_path / "gt"
     corpus.mkdir()
-    for name, arr in golden["corpus"]:
-        Image.fromarray(np.asarray(arr, np.uint8), "RGB").save(corpus / name)
+    for i, name in enumerate(golden["corpus_names"]):
+        Image.fromarray(blob[f"corpus_{i}"], "RGB").save(corpus / name)
     w, h = golden["crop"]
 
     def run_ours(tag, extra, expect_rc=0):
