@@ -33,8 +33,15 @@ class ScanCache:
         return conn
 
     @staticmethod
-    def make_key(img_path: str, rotation: int, downscale: int) -> str:
-        return f"{img_path}_rot{rotation}_ds{downscale}"
+    def make_key(img_path: str, rotation: int, downscale: int,
+                 grid: str = "tile") -> str:
+        # the grid mode changes the coordinate set, so it must be part of
+        # the key — otherwise switching --grid against the same cache dir
+        # silently serves the other grid's coordinates. Keys for the
+        # default reference tiling stay grid-suffixed ('tile') so caches
+        # written by the pre-grid-flag code (which cached OVERLAP coords
+        # under the unsuffixed key) are not misread either way.
+        return f"{img_path}_rot{rotation}_ds{downscale}_grid{grid}"
 
     def get(self, key: str, src_path: str) -> Optional[Any]:
         """Return the cached value, or None if absent or the source image

@@ -337,7 +337,7 @@ class DatasetGenerator:
 
         def run_one(t):
             split, p, rot, ds = t
-            key = ScanCache.make_key(p, rot, ds)
+            key = ScanCache.make_key(p, rot, ds, cfg.grid)
             cached = self.cache.get(key, p)
             if cached is None:
                 cached = scan_image_task(
