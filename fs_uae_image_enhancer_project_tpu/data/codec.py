@@ -31,6 +31,13 @@ STYLE_PARAMS_RE = re.compile(
 )
 
 
+
+
+def _scale_part(scale_perc: int) -> str:
+    """Canonical scale group token: 0 and 100 both mean no downscale."""
+    return "s0" if scale_perc in (0, 100) else f"s{scale_perc}"
+
+
 def construct_filename(params: Dict[str, Any], is_target: bool) -> str:
     """Build a sample filename from its parameter dict.
 
@@ -81,7 +88,11 @@ def parse_generated_filename(filename: str) -> Optional[Dict[str, Any]]:
             "scale_perc": int(d["scale_perc"]),
             "rot_deg": int(d["rot_deg"]),
             "style_name": None,
-            "scale_part": f"s{int(d['scale_perc'])}",
+            # canonical: s0 and s100 are the same no-downscale operation
+            # (reference spelling s0; this repo historically wrote s100);
+            # grouping by scale_part must unite them or legacy targets
+            # never pair with newly generated styled files
+            "scale_part": _scale_part(int(d["scale_perc"])),
             "rot_part": f"r{int(d['rot_deg'])}",
             "resolution": None,
             "rgb": None,
@@ -117,7 +128,7 @@ def parse_generated_filename(filename: str) -> Optional[Dict[str, Any]]:
         "rgb": rgb,
         "pal": pal,
         "dither": s["dither_name"].lower(),
-        "scale_part": f"s{int(d['scale_perc'])}",
+        "scale_part": _scale_part(int(d["scale_perc"])),
         "rot_part": f"r{int(d['rot_deg'])}",
         "filename": filename,
     }

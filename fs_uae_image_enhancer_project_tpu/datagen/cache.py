@@ -2,8 +2,8 @@
 
 Counterpart of reference ``dataset_generator/cache.py`` (a diskcache wrapper;
 diskcache is not in this image, so the store is a single sqlite3 database —
-same semantics: JSON values keyed ``f"{img_path}_rot{r}_ds{s}"``, entries
-invalidated when the source image's mtime changes).
+same semantics: JSON values keyed ``f"{img_path}_rot{r}_ds{s}_grid{g}"``,
+entries invalidated when the source image's mtime changes).
 """
 from __future__ import annotations
 

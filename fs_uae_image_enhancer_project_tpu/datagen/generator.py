@@ -123,14 +123,33 @@ class GeneratorConfig:
     workers: int = max(1, (os.cpu_count() or 2) - 1)
     cache_dir: str = ".scan_cache"
     assume_yes: bool = True  # non-interactive delete of invalid files
+    # opt-in for deleting more than half of a non-trivial destination
+    # (mass-orphan guard in _cleanup_orphans)
+    force_delete_orphans: bool = False
     verbose: int = 1
 
     def __post_init__(self):
-        # canonicalize the no-downscale spelling everywhere (specs,
-        # filenames, scan-cache keys): 100 -> 0 (reference spelling)
-        self.downscales = tuple(
-            0 if d == 100 else d for d in self.downscales
-        )
+        # Reference downscale/rotation semantics (generator.py:671-690):
+        # the no-op entries are ALWAYS part of the spec space (valid_
+        # downscales/valid_rotations are seeded with 0), out-of-range
+        # downscales warn and are ignored, rotations are taken mod 360.
+        # 100 is accepted as an alias of 0 (this repo's historical
+        # no-downscale spelling).
+        import warnings as _warnings
+
+        ds = [0]
+        for d in self.downscales:
+            d = 0 if d == 100 else d
+            if d == 0:
+                continue
+            if not 0 < d < 100:
+                _warnings.warn(
+                    f"Invalid downscale percentage ignored: {d}. "
+                    "Must be an integer > 0 and < 100.")
+                continue
+            ds.append(d)
+        self.downscales = tuple(sorted(set(ds)))
+        self.rotations = tuple(sorted({0} | {r % 360 for r in self.rotations}))
 
     def style_combos(self) -> List[StyleCombo]:
         combos: List[StyleCombo] = []
@@ -175,6 +194,12 @@ class GeneratorConfig:
                                 _add(res, cs, None, "none")
                             continue
                         _add(res, cs, pal_n, dit)
+        if not combos:
+            # reference generator.py:816 raises before touching disk —
+            # proceeding would orphan-delete every styled file in dest
+            raise ValueError(
+                "No valid style characteristics combinations were "
+                "generated from arguments.")
         return combos
 
 
@@ -494,8 +519,22 @@ class DatasetGenerator:
         )
         return to_generate, orphans
 
-    def _cleanup_orphans(self, orphans: List[str]) -> None:
+    def _cleanup_orphans(self, orphans: List[str],
+                         total_existing: int) -> None:
         if not orphans:
+            return
+        # Mass-deletion guard: a changed spec space (different --palette/
+        # --dither/--grid defaults, a typo'd flag) can classify most of an
+        # existing corpus as orphans. Deleting more than half of a
+        # non-trivial destination requires the explicit opt-in.
+        if (len(orphans) > 50 and len(orphans) * 2 > total_existing
+                and not self.cfg.force_delete_orphans):
+            self._log(
+                0,
+                f"REFUSING to delete {len(orphans)} of {total_existing} "
+                "existing files (more than half the destination). If the "
+                "spec change is intentional, re-run with "
+                "--force_delete_orphans (force_delete_orphans=True).")
             return
         if not self.cfg.assume_yes:
             ans = input(f"Delete {len(orphans)} orphaned files? [y/N] ")
@@ -613,7 +652,7 @@ class DatasetGenerator:
             specs = self._apply_split_quotas(specs, existing)
             expected = self._expected_files(specs)
             to_generate, orphans = self._plan(expected, existing)
-            self._cleanup_orphans(orphans)
+            self._cleanup_orphans(orphans, len(existing))
             generated = 0
             if not _stop_requested:
                 generated = self._generate(to_generate, expected)
@@ -680,6 +719,9 @@ def main(argv: Optional[List[str]] = None) -> int:
                     nargs="*", default=[0])
     ap.add_argument("--downscale", type=int, nargs="*", default=[0],
                     help="percentages; 0 (reference spelling) or 100 = none")
+    ap.add_argument("--force_delete_orphans", action="store_true",
+                    help="allow deleting more than half of an existing "
+                         "destination when the spec space changed")
     ap.add_argument("--grid", choices=["tile", "overlap"], default="tile",
                     help="crop grid: 'tile' matches the reference scan; "
                          "'overlap' is the centered 20%%-overlap grid "
@@ -729,10 +771,9 @@ def main(argv: Optional[List[str]] = None) -> int:
             None if p == 0 else p for p in args.palette),
         dithers=dithers,
         rotations=tuple(args.rotation),
-        # canonicalize the two no-downscale spellings to the
-        # reference's 0
-        downscales=tuple(0 if d == 100 else d for d in args.downscale),
+        downscales=tuple(args.downscale),
         grid=args.grid,
+        force_delete_orphans=args.force_delete_orphans,
         palette_algorithm=args.palette_algorithm,
         quantize_backend=args.quantize_backend,
         device_batch=args.device_batch,

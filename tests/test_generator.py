@@ -414,3 +414,72 @@ def test_generator_output_matches_reference_golden(tmp_path):
     ours_c = run_ours("c", ["--rgb", "444", "--dither", "checkerboard"],
                       expect_rc=1)
     assert ours_c == golden["files_checker"]  # targets only, same bytes
+
+
+def test_empty_style_space_raises_before_touching_disk(source_tree):
+    """A dither list with no valid non-palette combo must fail like the
+    reference ('No valid style characteristics combinations...') instead
+    of proceeding with a target-only spec space that would orphan-delete
+    every styled file in the destination."""
+    cfg = _cfg(source_tree, palettes=(), dithers=("atkinson",))
+    with pytest.raises(ValueError, match="No valid style characteristics"):
+        DatasetGenerator(cfg).run()
+
+
+def test_mass_orphan_deletion_requires_opt_in(source_tree):
+    """Changing the spec space so most of an existing corpus becomes
+    orphaned must refuse to delete without force_delete_orphans."""
+    import glob
+
+    # build a corpus large enough to trip the >50-file guard
+    cfg = _cfg(source_tree, palettes=(8, 16),
+               dithers=("bayer2x2", "bayer4x4", "atkinson"),
+               rotations=(0, 90), grid="overlap")
+    DatasetGenerator(cfg).run()
+    n_before = len(glob.glob(
+        os.path.join(cfg.dest_dir, "train", "*", "*.png")))
+    assert n_before > 100
+    # radically smaller spec space -> most files would be orphans
+    cfg_small = _cfg(source_tree, palettes=(8,), dithers=("bayer2x2",),
+                     rotations=(0,), grid="overlap")
+    DatasetGenerator(cfg_small).run()
+    n_after = len(glob.glob(
+        os.path.join(cfg_small.dest_dir, "train", "*", "*.png")))
+    assert n_after == n_before  # guard refused the mass deletion
+    # explicit opt-in performs it
+    cfg_force = _cfg(source_tree, palettes=(8,), dithers=("bayer2x2",),
+                     rotations=(0,), grid="overlap",
+                     force_delete_orphans=True)
+    DatasetGenerator(cfg_force).run()
+    n_forced = len(glob.glob(
+        os.path.join(cfg_force.dest_dir, "train", "*", "*.png")))
+    assert n_forced < n_before
+
+
+def test_legacy_spelled_corpus_pairs_and_survives(source_tree):
+    """A corpus written with the historical s100/dnone spellings must (a)
+    satisfy canonical specs on rerun, (b) survive orphan cleanup, and (c)
+    pair styled files with targets across spellings in the gatherer."""
+    from fs_uae_image_enhancer_project_tpu.data import (
+        gather_all_samples_from_directory,
+    )
+
+    cfg = _cfg(source_tree, palettes=(), dithers=("none",))
+    DatasetGenerator(cfg).run()
+    train_dir = os.path.join(cfg.dest_dir, "train", "img_a")
+    # rewrite HALF the files to legacy spellings: target stays canonical,
+    # styled goes legacy (cross-spelling pairing)
+    for f in sorted(os.listdir(train_dir)):
+        if f.startswith("lores_") and "_s0_" in f:
+            legacy = f.replace("_s0_", "_s100_").replace("dNone", "dnone")
+            os.rename(os.path.join(train_dir, f),
+                      os.path.join(train_dir, legacy))
+    stats = DatasetGenerator(cfg).run()
+    assert stats["generated_this_run"] == 0  # legacy satisfies the spec
+    assert stats["missing"] == 0
+    legacy_files = [f for f in os.listdir(train_dir) if "_s100_" in f]
+    assert legacy_files  # survived orphan cleanup
+    pairs = gather_all_samples_from_directory(
+        os.path.join(cfg.dest_dir, "train"), (32, 24), verbose=0)
+    # every legacy styled file pairs with its canonical target
+    assert len(pairs) == len(legacy_files)
