@@ -78,10 +78,58 @@ def _arm_watchdog() -> None:
     threading.Thread(target=fire, daemon=True).start()
 
 
+def _preempt_background_training() -> None:
+    """One chip, one process: a background trainer left by an unattended
+    watcher (scripts/train_psh_long.py via /tmp/tps3.pid) would run
+    concurrently with this bench and pollute both (CLAUDE.md: a bench during
+    another process's work inflated a warm call to 167.9 s). Training is
+    CSV-resumable, so killing it is lossless; benching is not re-runnable by
+    the driver, so the bench wins. Kill strictly by pid file + cmdline check
+    (never by pattern), and wait for the pid to exit before touching the
+    chip. BENCH_PREEMPT=0 disables."""
+    if os.environ.get("BENCH_PREEMPT", "1") != "1":
+        return
+    pidfile = "/tmp/tps3.pid"
+    try:
+        with open(pidfile) as f:
+            pid = int(f.read().strip())
+        with open(f"/proc/{pid}/cmdline", "rb") as f:
+            cmdline = f.read().decode("utf-8", "replace")
+    except (OSError, ValueError):
+        return
+    if "train_psh_long" not in cmdline:
+        return  # stale pid file now names an unrelated process: hands off
+    print(f"# preempting background trainer pid {pid} (CSV-resumable)",
+          file=sys.stderr)
+    import signal
+
+    try:
+        os.kill(pid, signal.SIGTERM)
+    except OSError:
+        return
+    def alive() -> bool:
+        try:  # a zombie (unreaped by a still-living parent) holds no chip
+            with open(f"/proc/{pid}/stat") as f:
+                return f.read().split()[2] != "Z"
+        except OSError:
+            return False
+
+    deadline = time.time() + 60
+    while time.time() < deadline and alive():
+        time.sleep(1)
+    if alive():
+        try:
+            os.kill(pid, signal.SIGKILL)
+        except OSError:
+            pass
+        time.sleep(3)
+
+
 def main() -> None:
     # watchdog first: the wedge can bite during backend init itself (the
     # xla_bridge warning prints, then jax.devices() never returns)
     _arm_watchdog()
+    _preempt_background_training()
     from fs_uae_image_enhancer_project_tpu.utils.platform import (
         honor_jax_platforms_env,
     )
