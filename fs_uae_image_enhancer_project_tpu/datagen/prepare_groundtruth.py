@@ -13,7 +13,10 @@ import sys
 from concurrent.futures import ThreadPoolExecutor
 from typing import List, Optional, Tuple
 
-SUPPORTED_EXTS = (".jpg", ".jpeg", ".png", ".webp", ".avif", ".bmp", ".tif", ".tiff")
+SUPPORTED_EXTS = (
+    ".jpg", ".jpeg", ".png", ".webp", ".avif", ".bmp", ".tif", ".tiff",
+    ".gif",  # the reference accepts GIFs too (prepare_groundtruth.py:9)
+)
 
 
 def process_image(
@@ -40,16 +43,15 @@ def process_image(
                 img = img.convert("RGB")
             if max_dim is not None:
                 # Scalar max_dim -> fit within a square box; (W, H) pair ->
-                # fit within that box (the reference's --max_crop_size
-                # thumbnail semantics, prepare_groundtruth.py:31-35).
+                # fit within that box. PIL ``thumbnail`` exactly as the
+                # reference (prepare_groundtruth.py:31-35): its round-half-up
+                # size math and reducing_gap resampling differ byte-level
+                # from a plain LANCZOS resize (pinned by
+                # tests/goldens/prepare_goldens.npz).
                 box = (max_dim, max_dim) if isinstance(max_dim, int) else max_dim
                 w, h = img.size
-                scale = min(box[0] / w, box[1] / h)
-                if scale < 1.0:
-                    img = img.resize(
-                        (max(1, int(w * scale)), max(1, int(h * scale))),
-                        Image.Resampling.LANCZOS,
-                    )
+                if w > box[0] or h > box[1]:
+                    img.thumbnail(box, Image.Resampling.LANCZOS)
             os.makedirs(os.path.dirname(dst_path), exist_ok=True)
             img.save(dst_path, format="PNG")
         return dst_path, None

@@ -16,7 +16,10 @@ def generate(dest_dir: str, width: int = 376, height: int = 288, verbose: int = 
         for g4 in range(16):
             for b4 in range(16):
                 r, g, b = r4 * 17, g4 * 17, b4 * 17  # 0x0->0x00 ... 0xF->0xFF
-                name = f"rgb444_{r4:X}{g4:X}{b4:X}.png"
+                # the reference spells lowercase hex with a trailing '0'
+                # (rgb444_flat_image_generator.py:17-22) — pinned byte-level
+                # by tests/goldens/rgb444_goldens.npz
+                name = f"rgb444_{r4:x}{g4:x}{b4:x}0.png"
                 path = os.path.join(dest_dir, name)
                 if os.path.exists(path):
                     continue

@@ -269,6 +269,67 @@ def test_prepare_groundtruth_max_crop_size(tmp_path):
         ["--src", str(tmp_path / "orig"), "--dst", str(dst)]) == 0
 
 
+def test_prepare_groundtruth_matches_reference_golden(tmp_path):
+    """Byte-level parity with the reference's ACTUAL prepare_groundtruth
+    (dataset_generator/prepare_groundtruth.py via
+    golden_gen/gen_prepare_goldens.py): the successful ICC->sRGB LCMS
+    transform (embedded sRGB), the cannot-build-transform fallback
+    (embedded XYZ), palette-GIF/RGBA/grayscale RGB conversion, .gif
+    extension coverage, and --max_crop_size ``thumbnail`` semantics
+    (round-half-up sizing + reducing_gap resampling — a plain LANCZOS
+    resize diverges on both)."""
+    from fs_uae_image_enhancer_project_tpu.datagen import prepare_groundtruth
+
+    g = np.load(os.path.join(os.path.dirname(__file__), "goldens",
+                             "prepare_goldens.npz"))
+    src = tmp_path / "src"
+    for key in g.files:
+        if not key.startswith("in::"):
+            continue
+        p = src / key[len("in::"):]
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_bytes(g[key].tobytes())
+
+    for tag, box in (("plain", None), ("boxed", (376, 288))):
+        dst = tmp_path / f"out_{tag}"
+        results = prepare_groundtruth.prepare_tree(
+            str(src), str(dst), max_dim=box, workers=2, verbose=0)
+        assert all(err is None for _p, err in results), results
+        expected = {k[len(tag) + 2:] for k in g.files
+                    if k.startswith(f"{tag}::")}
+        produced = {p.relative_to(dst).as_posix()
+                    for p in dst.rglob("*.png")}
+        assert produced == expected, (tag, produced ^ expected)
+        for rel in sorted(expected):
+            with Image.open(dst / rel) as im:
+                np.testing.assert_array_equal(
+                    np.asarray(im), g[f"{tag}::{rel}"],
+                    err_msg=f"{tag}::{rel}")
+
+
+def test_rgb444_matches_reference_golden(tmp_path):
+    """Filename-set and pixel parity with the reference's ACTUAL RGB444
+    swatch generator (rgb444_flat_image_generator.py via
+    golden_gen/gen_rgb444_goldens.py): lowercase hex + trailing '0'
+    spelling, v*17 4-bit->8-bit scaling."""
+    from fs_uae_image_enhancer_project_tpu.datagen import rgb444_flat
+
+    g = np.load(os.path.join(os.path.dirname(__file__), "goldens",
+                             "rgb444_goldens.npz"))
+    dest = tmp_path / "swatches"
+    n = rgb444_flat.generate(str(dest), width=4, height=3, verbose=0)
+    assert n == 4096
+    assert sorted(os.listdir(dest)) == list(g["names"])
+    for key in g.files:
+        if not key.startswith("px::"):
+            continue
+        with Image.open(dest / key[len("px::"):]) as im:
+            np.testing.assert_array_equal(np.asarray(im), g[key],
+                                          err_msg=key)
+    # idempotent: re-run writes nothing new
+    assert rgb444_flat.generate(str(dest), width=4, height=3, verbose=0) == 0
+
+
 def test_same_named_sources_in_subdirs_do_not_collide(tmp_path):
     """Two source images with the same filename in different subdirectories
     must each get their own output location (regression: basename-keyed
