@@ -1,4 +1,6 @@
 """Loss tests: formula parity with the reference definitions + gradient flow."""
+import os
+
 import numpy as np
 import pytest
 
@@ -92,6 +94,75 @@ def test_perceptual_loss_full_and_grad():
     g = jax.grad(lambda o_: crit(o_, t))(o)
     assert np.all(np.isfinite(np.asarray(g)))
     assert float(crit(t, t)) < loss  # identical pair scores lower
+
+
+def _regen_torch_vgg_state():
+    """Bit-identical regeneration of the golden's He-normal OIHW weights
+    (tests/golden_gen/gen_vgg_goldens.py WEIGHT_SEED) — numpy is the RNG
+    shared across the torch and jax processes, so ~59 MB of weights never
+    hits the goldens npz."""
+    rng = np.random.default_rng(20260818)
+    state = {}
+    cin = 3
+    layout_convs = [(i, cout) for i, kind, cout in vgg_mod.VGG16_LAYOUT
+                    if kind == "conv"]
+    for i, cout in layout_convs:
+        std = np.sqrt(2.0 / (cin * 9))
+        state[f"features.{i}.weight"] = rng.normal(
+            0.0, std, (cout, cin, 3, 3)).astype(np.float32)
+        state[f"features.{i}.bias"] = rng.normal(
+            0.0, 0.01, (cout,)).astype(np.float32)
+        cin = cout
+    return state
+
+
+def test_vgg_perceptual_matches_reference_golden(tmp_path):
+    """End-to-end torch-golden parity for the perceptual pipeline
+    (golden_gen/gen_vgg_goldens.py replays loss_vgg.py's exact math):
+    tap activations at {3,8,17,26} through the OIHW->HWIO converter +
+    loader + extractor, and the total loss for three configs covering
+    l1/charbonnier, the HF and luminance branches, and the
+    input_is_linear clamp asymmetry."""
+    from fs_uae_image_enhancer_project_tpu.losses.perceptual import (
+        make_perceptual_loss,
+    )
+
+    g = np.load(os.path.join(os.path.dirname(__file__), "goldens",
+                             "vgg_goldens.npz"))
+    asset = tmp_path / "vgg16_features.npz"
+    vgg_mod.convert_torchvision_state_dict(_regen_torch_vgg_state(),
+                                           str(asset))
+    params = vgg_mod._load_asset(str(asset))
+
+    o = jnp.asarray(np.transpose(g["input_o"], (0, 2, 3, 1)))  # NCHW->NHWC
+    t = jnp.asarray(np.transpose(g["input_t"], (0, 2, 3, 1)))
+
+    feats = vgg_mod.extract_features(params, vgg_mod.normalize(o))
+    for tap, got in zip(vgg_mod.TAP_INDICES, feats):
+        want = np.transpose(g[f"tap_{tap}"], (0, 2, 3, 1))
+        scale = float(np.abs(want).max())
+        # measured max rel-to-scale err (CPU fp32 vs torch fp32):
+        # 4.8e-7 (tap3) .. 8.4e-7 (tap26) — bar ~50x
+        np.testing.assert_allclose(np.asarray(got), want,
+                                   atol=5e-5 * max(scale, 1.0), rtol=0,
+                                   err_msg=f"tap {tap}")
+
+    configs = {
+        "loss_srgb_l1_vgg": PerceptualConfig(
+            pixel_loss_weight=0.990, vgg_weight=0.007, pixel_loss_type="l1",
+            high_frequency_weight=0.003),
+        "loss_srgb_charb_lum": PerceptualConfig(
+            pixel_loss_weight=1.0, vgg_weight=0.006,
+            pixel_loss_type="charbonnier", lambda_lum=0.05),
+        "loss_linear_all": PerceptualConfig(
+            pixel_loss_weight=0.990, vgg_weight=0.007,
+            pixel_loss_type="charbonnier", high_frequency_weight=0.003,
+            lambda_lum=0.02, input_is_linear=True),
+    }
+    for name, cfg in configs.items():
+        crit = make_perceptual_loss(cfg, vgg_params=params)
+        got = float(crit(o, t))
+        assert got == pytest.approx(float(g[name]), rel=1e-4), name
 
 
 def test_build_criterion_from_model_specs():
