@@ -79,8 +79,8 @@ def _arm_watchdog() -> None:
 
 
 def _preempt_background_training() -> None:
-    """One chip, one process: a background trainer left by an unattended
-    watcher (scripts/train_psh_long.py via /tmp/tps3.pid) would run
+    """One chip, one process: a background trainer (scripts/train_psh_long.py
+    self-registers its pid in /tmp/tps3.pid at startup) would run
     concurrently with this bench and pollute both (CLAUDE.md: a bench during
     another process's work inflated a warm call to 167.9 s). Training is
     CSV-resumable, so killing it is lossless; benching is not re-runnable by
@@ -122,7 +122,17 @@ def _preempt_background_training() -> None:
             os.kill(pid, signal.SIGKILL)
         except OSError:
             pass
-        time.sleep(3)
+        # SIGKILL can stay pending while the process sits in uninterruptible
+        # iowait (D-state — this VM stalls for minutes); re-check instead of
+        # assuming, and say so loudly if it survives, because the bench
+        # numbers are then polluted by a concurrent chip user.
+        deadline = time.time() + 120
+        while time.time() < deadline and alive():
+            time.sleep(2)
+        if alive():
+            print(f"# WARNING: trainer pid {pid} survived SIGKILL "
+                  "(D-state?); bench numbers may be polluted by the "
+                  "concurrent process", file=sys.stderr)
 
 
 def main() -> None:

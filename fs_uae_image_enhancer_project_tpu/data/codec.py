@@ -48,9 +48,13 @@ def construct_filename(params: Dict[str, Any], is_target: bool) -> str:
             raise ValueError(
                 "Missing mandatory crop/pre-processing parameters for filename construction."
             )
+    # scale is canonicalized exactly like dither below: 0 and 100 both mean
+    # no downscale, spelled s0 on the wire (the reference's spelling; this
+    # repo's round-2 corpora used s100) — callers re-emitting parsed legacy
+    # params get the canonical name without a special case
     stem = (
         f"{params['crop_x']}_{params['crop_y']}"
-        f"_s{params['scale_perc']}_r{params['rot_deg']}"
+        f"_{_scale_part(params['scale_perc'])}_r{params['rot_deg']}"
     )
     if is_target:
         return f"target_{stem}.png"

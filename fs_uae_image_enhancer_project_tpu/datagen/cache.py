@@ -2,8 +2,9 @@
 
 Counterpart of reference ``dataset_generator/cache.py`` (a diskcache wrapper;
 diskcache is not in this image, so the store is a single sqlite3 database —
-same semantics: JSON values keyed ``f"{img_path}_rot{r}_ds{s}_grid{g}"``,
-entries invalidated when the source image's mtime changes).
+same semantics: JSON values keyed by the full scan-parameter tuple, entries
+invalidated when the source image's mtime changes; see :meth:`make_key` for
+the deliberate divergence from the reference's under-keyed scheme).
 """
 from __future__ import annotations
 
@@ -34,14 +35,18 @@ class ScanCache:
 
     @staticmethod
     def make_key(img_path: str, rotation: int, downscale: int,
-                 grid: str = "tile") -> str:
-        # the grid mode changes the coordinate set, so it must be part of
-        # the key — otherwise switching --grid against the same cache dir
-        # silently serves the other grid's coordinates. Keys for the
-        # default reference tiling stay grid-suffixed ('tile') so caches
-        # written by the pre-grid-flag code (which cached OVERLAP coords
-        # under the unsuffixed key) are not misread either way.
-        return f"{img_path}_rot{rotation}_ds{downscale}_grid{grid}"
+                 grid: str = "tile", crop_w: int = 376, crop_h: int = 288,
+                 black_threshold: float = 0.75) -> str:
+        # EVERY parameter that determines the cached coordinate set is part
+        # of the key: grid mode, crop size, and the black-ratio threshold —
+        # otherwise rerunning against the same cache dir with a different
+        # --crop_size (or --grid) silently serves the other run's
+        # coordinates. The reference keys only (path, rot, ds)
+        # (cache.py:20-28) and has exactly that defect; we deliberately
+        # diverge. Keys written by earlier revisions of this file (no crop/
+        # threshold suffix, or no grid suffix) simply miss and rescan.
+        return (f"{img_path}_rot{rotation}_ds{downscale}_grid{grid}"
+                f"_c{crop_w}x{crop_h}_b{black_threshold:g}")
 
     def get(self, key: str, src_path: str) -> Optional[Any]:
         """Return the cached value, or None if absent or the source image

@@ -150,6 +150,20 @@ class GeneratorConfig:
             ds.append(d)
         self.downscales = tuple(sorted(set(ds)))
         self.rotations = tuple(sorted({0} | {r % 360 for r in self.rotations}))
+        # Reference dither semantics (generator.py:743-768): names are
+        # case-insensitive, unsupported entries WARN and are skipped, and an
+        # empty/all-invalid list defaults to no-dither rather than erroring.
+        valid = set(valid_dither_methods())
+        dits = []
+        for d in self.dithers:
+            d = str(d).lower()
+            if d not in valid:
+                _warnings.warn(
+                    f"Unsupported dithering method ignored: '{d}'. "
+                    f"Supported: {sorted(valid)}.")
+                continue
+            dits.append(d)
+        self.dithers = tuple(sorted(set(dits))) or ("none",)
 
     def style_combos(self) -> List[StyleCombo]:
         combos: List[StyleCombo] = []
@@ -169,9 +183,6 @@ class GeneratorConfig:
             for cs in self.colorspaces:
                 if cs not in VALID_COLOR_SPACES:
                     raise ValueError(f"unknown colorspace {cs}")
-                for dit in self.dithers:
-                    if dit not in valid_dither_methods():
-                        raise ValueError(f"unknown dither {dit}")
                 if not self.palettes:
                     # Case A (reference generator.py:784-795): --palette
                     # absent -> exactly ONE non-palette combo per colorspace;
@@ -362,7 +373,8 @@ class DatasetGenerator:
 
         def run_one(t):
             split, p, rot, ds = t
-            key = ScanCache.make_key(p, rot, ds, cfg.grid)
+            key = ScanCache.make_key(p, rot, ds, cfg.grid, cfg.crop_w,
+                                     cfg.crop_h, cfg.black_ratio_threshold)
             cached = self.cache.get(key, p)
             if cached is None:
                 cached = scan_image_task(
@@ -479,21 +491,23 @@ class DatasetGenerator:
         reported as orphans.
         """
         existing: Dict[str, str] = {}
+        # reset BEFORE any early return: a prior scan's duplicates must not
+        # leak into this run's orphan plan if dest has since disappeared
+        self._duplicate_orphans: List[str] = []
         dest = self.cfg.dest_dir
         if not os.path.isdir(dest):
             return existing
-        self._duplicate_orphans: List[str] = []
         for root, _d, files in os.walk(dest):
             rel_root = os.path.relpath(root, dest)
             for f in sorted(files):
                 parsed = parse_generated_filename(f)
                 if parsed is None:
                     continue
-                canon = dict(parsed)
-                if canon["scale_perc"] in (0, 100):
-                    canon["scale_perc"] = 0
+                # construct_filename canonicalizes spelling (s100->s0,
+                # dnone->dNone), so a legacy-spelled file maps onto its
+                # canonical spec name here
                 cname = construct_filename(
-                    canon, is_target=parsed["type"] == "target")
+                    parsed, is_target=parsed["type"] == "target")
                 crel = os.path.normpath(os.path.join(rel_root, cname))
                 arel = os.path.normpath(os.path.join(rel_root, f))
                 if crel in existing:
@@ -753,12 +767,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         colorspaces = tuple(f"RGB{v}" for v in args.rgb)
     else:
         colorspaces = tuple(args.colorspace or ["RGB444"])
-    # case-insensitive dither names; the reference spells no-dither 'None'
-    dithers = tuple(d.lower() for d in args.dither)
-    valid = set(valid_dither_methods())
-    for d in dithers:
-        if d not in valid:
-            ap.error(f"unknown dither '{d}' (valid: {sorted(valid)})")
+    # dither names are normalized (case-insensitive, warn-and-skip invalid,
+    # empty -> 'none') by GeneratorConfig.__post_init__, reference semantics
     cfg = GeneratorConfig(
         train_images=args.train_images,
         test_images=args.test_images,
@@ -769,7 +779,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         colorspaces=colorspaces,
         palettes=() if args.palette is None else tuple(
             None if p == 0 else p for p in args.palette),
-        dithers=dithers,
+        dithers=tuple(args.dither),
         rotations=tuple(args.rotation),
         downscales=tuple(args.downscale),
         grid=args.grid,

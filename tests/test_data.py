@@ -121,7 +121,7 @@ def test_codec_randomized_roundtrip():
         params = {
             "crop_x": rng.randint(-500, 500),
             "crop_y": rng.randint(-500, 500),
-            "scale_perc": rng.randint(1, 100),
+            "scale_perc": rng.randint(1, 99),  # 100 canonicalizes to 0
             "rot_deg": rng.randint(0, 359),
             "resolution": rng.choice(
                 ["lores", "hires", "lores_laced", "hires_laced"]
@@ -139,6 +139,22 @@ def test_codec_randomized_roundtrip():
         tfn = construct_filename(params, is_target=True)
         tparsed = parse_generated_filename(tfn)
         assert tparsed["type"] == "target"
+
+
+def test_codec_canonicalizes_legacy_spellings():
+    """construct_filename canonicalizes BOTH legacy spellings symmetrically
+    (s100 -> s0 like dnone -> dNone), so re-emitting a parsed legacy params
+    dict yields the canonical name with no caller special-casing."""
+    params = {
+        "crop_x": 0, "crop_y": 0, "scale_perc": 100, "rot_deg": 0,
+        "resolution": "lores", "rgb": "RGB444", "pal": None, "dither": "none",
+    }
+    assert construct_filename(params, is_target=False) == \
+        "lores_0_0_s0_r0_rgb444_pNone_dNone.png"
+    assert construct_filename(params, is_target=True) == "target_0_0_s0_r0.png"
+    canonical = dict(params, scale_perc=0)
+    assert construct_filename(canonical, is_target=False) == \
+        construct_filename(params, is_target=False)
 
 
 def test_srdataset_corrupt_file_retry(tmp_path):

@@ -113,6 +113,39 @@ def test_scan_cache_mtime_invalidation(tmp_path):
     assert cache.get(key, str(src)) is None
 
 
+def test_scan_cache_key_covers_every_scan_parameter():
+    """Regression: rerunning with a different --crop_size/--grid/threshold
+    against the same cache dir must never serve the other run's coordinate
+    list (the reference keys only path/rot/ds and has exactly that bug)."""
+    keys = {
+        ScanCache.make_key("img.png", 0, 0, "tile", 376, 288, 0.75),
+        ScanCache.make_key("img.png", 0, 0, "overlap", 376, 288, 0.75),
+        ScanCache.make_key("img.png", 0, 0, "tile", 64, 48, 0.75),
+        ScanCache.make_key("img.png", 0, 0, "tile", 376, 288, 0.5),
+        ScanCache.make_key("img.png", 20, 0, "tile", 376, 288, 0.75),
+        ScanCache.make_key("img.png", 0, 50, "tile", 376, 288, 0.75),
+    }
+    assert len(keys) == 6
+
+
+def test_dither_list_normalized_like_reference(tmp_path):
+    """Reference generator.py:743-768: dither names are case-insensitive,
+    invalid entries warn and are skipped, and an empty/all-invalid list
+    defaults to no-dither instead of erroring."""
+    import warnings
+
+    cfg = GeneratorConfig(dest_dir=str(tmp_path / "d"), dithers=())
+    assert cfg.dithers == ("none",)
+    assert [c.dither for c in cfg.style_combos()] == ["none"]
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        cfg = GeneratorConfig(dest_dir=str(tmp_path / "d"),
+                              dithers=("Bayer4x4", "sponge", "NONE"))
+    assert cfg.dithers == ("bayer4x4", "none")
+    assert any("sponge" in str(x.message) for x in w)
+
+
 # --- geometry utilities -----------------------------------------------------
 
 def test_crop_and_pad_negative_coords():
