@@ -7,8 +7,11 @@ Here they are ``lax.conv_general_dilated`` with TPU-native
 
 Parameter convention: ``{"w": (kh, kw, cin, cout) HWIO, "b": (cout,)}`` with
 fp32 storage; compute dtype (bf16 for training/inference speed) is chosen by
-the caller via ``x.dtype`` — weights are cast to match, accumulation stays
-fp32 via ``preferred_element_type``.
+the caller via ``x.dtype`` — weights are cast to match. bf16 accumulation
+stays fp32 because that is what the TPU MXU lowering does natively — NOT via
+``preferred_element_type``, which is deliberately omitted: specifying an
+output dtype different from the input dtype breaks jax 0.9's conv transpose
+rule under ``jax.grad`` (see conv2d's docstring and CLAUDE.md).
 
 Weight init mirrors torch.nn.Conv2d defaults (kaiming_uniform with a=sqrt(5),
 i.e. U(-1/sqrt(fan_in), 1/sqrt(fan_in)) for both weight and bias) so that

@@ -14,6 +14,18 @@ VMEM-resident pass:
 so a (block_px, N<=1024) tile never touches HBM between steps. Batched over
 crops with vmap. Error diffusion stays on the host C++ kernel — it is
 serially dependent pixel-to-pixel and hostile to SIMD (SURVEY §7 hard part 2).
+
+Precision caveat (ordered mode): the TPU compares ``frac > threshold`` in
+fp32, while the host path (datagen/quantize.py:352-374, like the reference's
+numba kernel) computes luminance interpolation in float64. A pixel whose
+float64 ``frac`` sits within ~1e-7 (fp32 rounding) of its Bayer threshold
+k/(m*m) can pick the other of the two nearest colours. With uint8 inputs the
+frac values are rationals whose spacing from the thresholds is usually
+>=~2e-4, so real corpora measure byte-identical across backends
+(artifacts/generator_e2e_r4.json); the flip is possible for adversarial
+palettes, not expected for image data. Regeneration with a different backend
+is the only exposure — the generator's spec-diff idempotence never
+re-compares pixels of files already on disk.
 """
 from __future__ import annotations
 

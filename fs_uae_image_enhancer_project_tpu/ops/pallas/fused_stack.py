@@ -375,16 +375,21 @@ def _prep_weights_cached(params: Params):
     """Per-params-pytree cache around _prep_weights: each prep round-trips
     every conv weight device->host->device (np.asarray + re-upload), which
     through the tunnel costs whole RTTs PER FRAME for unjitted callers.
-    Keyed on the id of the params dict (weights are immutable jax arrays;
-    a new/updated pytree gets a new dict id). Bounded: keep the last entry
-    only — enhance serving uses one weight set per process."""
-    key = id(params)
+    Keyed on the ids of the LEAF arrays (immutable jax arrays), not the
+    containing dict: in-place updates like ``params["conv7"] = new`` reuse
+    the dict id but swap leaves, and an id(dict) key would silently serve
+    the stale flattened weights. Bounded: keep the last entry only —
+    enhance serving uses one weight set per process."""
+    import jax as _jax
+
+    leaves = _jax.tree_util.tree_leaves(params)
+    key = tuple(map(id, leaves))
     hit = _PREP_CACHE.get(key)
     if hit is None:
         _PREP_CACHE.clear()
-        # store the params dict itself alongside: the strong reference
-        # keeps it alive, so its id cannot be recycled by a new object
-        hit = (params, _prep_weights(params))
+        # store the leaves alongside: the strong references keep them
+        # alive, so their ids cannot be recycled by new objects
+        hit = (leaves, _prep_weights(params))
         _PREP_CACHE[key] = hit
     return hit[1]
 

@@ -334,13 +334,18 @@ _PREP_CACHE: dict = {}
 
 def _prep_weights_cached(params: Params):
     """Per-params cache (see fused_stack._prep_weights_cached): avoids a
-    device->host->device weight round trip per unjitted call; the stored
-    strong reference keeps the dict's id from being recycled."""
-    key = id(params)
+    device->host->device weight round trip per unjitted call. Keyed on the
+    LEAF array ids (not the dict id), so in-place dict updates cannot serve
+    stale packed weights; the stored strong references keep the leaf ids
+    from being recycled."""
+    import jax as _jax
+
+    leaves = _jax.tree_util.tree_leaves(params)
+    key = tuple(map(id, leaves))
     hit = _PREP_CACHE.get(key)
     if hit is None:
         _PREP_CACHE.clear()
-        hit = (params, _prep_weights(params))
+        hit = (leaves, _prep_weights(params))
         _PREP_CACHE[key] = hit
     return hit[1]
 

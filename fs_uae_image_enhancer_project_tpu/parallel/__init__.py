@@ -1,4 +1,5 @@
 from .mesh import (  # noqa: F401
+    accum_batch_sharding,
     batch_sharding,
     make_mesh,
     replicate,

@@ -14,7 +14,7 @@ import jax.numpy as jnp
 
 from ..losses.perceptual import build_criterion
 from ..models import get_model
-from .mesh import make_mesh, replicate, shard_batch
+from .mesh import accum_batch_sharding, make_mesh, replicate, shard_batch
 from .train_step import init_train_state, make_optimizer, make_train_step
 
 
@@ -57,10 +57,9 @@ def run_dryrun(
     )
 
     state = replicate(mesh, state)
-    # micro axis unsharded; per-micro batch over dp; height over sp
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
-    bspec = NamedSharding(mesh, P(None, "dp", "sp"))
+    # micro axis unsharded; per-micro batch over dp; height over sp —
+    # the ONE definition lives in mesh.accum_batch_sharding
+    bspec = accum_batch_sharding(mesh)
     lr_b = jax.device_put(lr_b, bspec)
     hr_b = jax.device_put(hr_b, bspec)
 

@@ -25,6 +25,8 @@ import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from .mesh import accum_batch_sharding
+
 
 class TrainState(NamedTuple):
     step: jnp.ndarray
@@ -127,7 +129,7 @@ def make_train_step(
 
     def train_step(state: TrainState, lr_batch, hr_batch):
         if mesh is not None:
-            bspec = NamedSharding(mesh, P(None, "dp", "sp"))
+            bspec = accum_batch_sharding(mesh)
             lr_batch = jax.lax.with_sharding_constraint(lr_batch, bspec)
             hr_batch = jax.lax.with_sharding_constraint(hr_batch, bspec)
 

@@ -29,11 +29,27 @@ def honor_jax_platforms_env() -> None:
         return
     import jax
 
+    jax.config.update("jax_platforms", want)
+    # config.update does NOT raise when a backend is already initialized —
+    # it silently leaves the process on the old platform (measured
+    # 2026-08-18 in this jax). Verify positively, but only when a backend
+    # already exists (probing default_backend() ourselves would force the
+    # initialization this function exists to get ahead of). The guard keeps
+    # a JAX_PLATFORMS=cpu child from silently running on the TPU — the
+    # exact two-process chip pollution CLAUDE.md forbids.
     try:
-        jax.config.update("jax_platforms", want)
-    except RuntimeError:
-        # Backend already initialized; nothing can change it now. If it
-        # already matches the request this is fine; otherwise surface it.
+        from jax._src import xla_bridge as _xb
+
+        initialized = bool(getattr(_xb, "_backends", None))
+    except Exception:
+        initialized = False  # internals moved; lose the check, not the run
+    if initialized:
         current = jax.default_backend()
         if want != current and current not in want.split(","):
-            raise
+            raise RuntimeError(
+                f"JAX_PLATFORMS={want!r} requested but the {current!r} "
+                "backend is already initialized in this process; platform "
+                "selection cannot change after first backend use. Call "
+                "honor_jax_platforms_env() before anything touches jax "
+                "(see utils/platform.py docstring)."
+            )

@@ -63,6 +63,28 @@ def test_fused_three_strips_steady_state_carry():
     assert per_row.max() < 2e-3
 
 
+def test_prep_cache_sees_in_place_param_updates():
+    """Regression: the prepared-weight cache keys on LEAF array ids, so
+    mutating the params dict in place (same dict id, new leaves — the
+    eval-several-checkpoints pattern) must NOT serve stale flattened
+    weights."""
+    x = jnp.asarray(
+        np.random.default_rng(1).uniform(0, 1, (1, 2 * STRIP, 64, 3))
+        .astype(np.float32)
+    )
+    params = jax.tree_util.tree_map(jnp.asarray, PARAMS)
+    first = np.asarray(fused_stack_apply(params, x, interpret=True)
+                       .astype(jnp.float32))
+    # in-place leaf swap: zero one conv's weights; the dict id is unchanged
+    params["conv7"] = {k: jnp.zeros_like(v)
+                       for k, v in params["conv7"].items()}
+    mutated = np.asarray(fused_stack_apply(params, x, interpret=True)
+                         .astype(jnp.float32))
+    truth = np.asarray(M.apply(params, x))
+    assert not np.allclose(mutated, first)  # stale cache would reproduce it
+    assert np.abs(mutated - truth).max() < 2e-3
+
+
 def test_fused_shape_validation():
     with pytest.raises(ValueError):
         fused_stack_apply(
