@@ -257,6 +257,12 @@ class TrainerConfig:
     compute_dtype: str = "bfloat16"
     mesh: Optional[object] = None  # optional jax.sharding.Mesh
     verbose: int = 1
+    # Sync with the device every K optimizer steps (bounded dispatch
+    # runahead), not every step: fetching the loss scalar per step costs a
+    # full tunnel round trip (~150-350 ms) PER STEP — measured 234 ms/step
+    # on train_psh_long where device work is a fraction of that. Losses
+    # stay on device and are fetched in ONE stacked transfer per epoch.
+    loss_sync_steps: int = 8
 
 
 class Trainer:
@@ -383,7 +389,11 @@ class Trainer:
         for epoch in range(start_epoch + 1, cfg.num_epochs + 1):
             t_epoch = time.time()
             # ---- train ----
-            losses: List[float] = []
+            # losses stay ON DEVICE until the epoch ends: a float() per step
+            # is a tunnel round trip per step (see loss_sync_steps). A
+            # block_until_ready every K steps bounds dispatch runahead (and
+            # with it HBM held by in-flight batches) without serializing.
+            losses: List = []
             accum_lr, accum_hr = [], []
             for lr_b, hr_b in device_prefetch(iter(train_ds)):
                 accum_lr.append(lr_b)
@@ -394,29 +404,38 @@ class Trainer:
                 hrs = batch_put(jnp.stack(accum_hr))
                 accum_lr, accum_hr = [], []
                 state, loss = train_step(state, lrs, hrs)
-                losses.append(float(loss))
+                losses.append(loss)
+                if len(losses) % max(cfg.loss_sync_steps, 1) == 0:
+                    loss.block_until_ready()
             if accum_lr:  # tail flush (train.py:190-193)
                 state, loss = train_step(
                     state,
                     batch_put(jnp.stack(accum_lr)),
                     batch_put(jnp.stack(accum_hr)),
                 )
-                losses.append(float(loss))
-            train_loss = float(np.mean(losses)) if losses else float("nan")
+                losses.append(loss)
+            # one stacked device->host transfer for the whole epoch
+            train_loss = (
+                float(np.mean(np.asarray(jnp.stack(losses), np.float32)))
+                if losses else float("nan")
+            )
 
             # ---- validate ----
-            val_losses: List[float] = []
+            val_losses: List = []
             if val_ds is not None and val_ds.pool:
                 for lr_b, hr_b in iter(val_ds):
                     val_losses.append(
-                        float(
-                            eval_loss(
-                                state.params, state.buffers,
-                                eval_put(lr_b), eval_put(hr_b),
-                            )
+                        eval_loss(
+                            state.params, state.buffers,
+                            eval_put(lr_b), eval_put(hr_b),
                         )
                     )
-            val_loss = float(np.mean(val_losses)) if val_losses else train_loss
+                    if len(val_losses) % max(cfg.loss_sync_steps, 1) == 0:
+                        val_losses[-1].block_until_ready()
+            val_loss = (
+                float(np.mean(np.asarray(jnp.stack(val_losses), np.float32)))
+                if val_losses else train_loss
+            )
 
             current_lr = lr0 * (cfg.lr_decay_rate ** (epoch - start_epoch))
             new_best = val_loss < best_val
