@@ -106,10 +106,17 @@ def main(argv=None) -> int:
                        transfer_dtype="uint8")
         losses, mses = [], []
         t0 = time.perf_counter()
-        for lr_b, hr_b in iter(va):
+        # device scalars accumulate; one stacked fetch at the end (a float()
+        # per batch costs a full tunnel RTT per batch — trainer.py
+        # loss_sync_steps rationale)
+        for i, (lr_b, hr_b) in enumerate(iter(va)):
             l, e = eval_step(params, jnp.asarray(lr_b), jnp.asarray(hr_b))
-            losses.append(float(l))
-            mses.append(float(e))
+            losses.append(l)
+            mses.append(e)
+            if (i + 1) % 8 == 0:
+                e.block_until_ready()  # bounded runahead
+        losses = np.asarray(jnp.stack(losses), np.float32)
+        mses = np.asarray(jnp.stack(mses), np.float32)
         dt = time.perf_counter() - t0
         mse = float(np.mean(mses))
         row = {

@@ -149,10 +149,15 @@ def main() -> int:
 
         _, va = make_ds()
         losses, mses = [], []
-        for lr_b, hr_b in iter(va):
+        # device scalars, one stacked fetch (no per-batch tunnel RTT)
+        for i, (lr_b, hr_b) in enumerate(iter(va)):
             l, e = eval_step(params, jnp.asarray(lr_b), jnp.asarray(hr_b))
-            losses.append(float(l))
-            mses.append(float(e))
+            losses.append(l)
+            mses.append(e)
+            if (i + 1) % 8 == 0:
+                e.block_until_ready()
+        losses = np.asarray(jnp.stack(losses), np.float32)
+        mses = np.asarray(jnp.stack(mses), np.float32)
         mse = float(np.mean(mses))
         return {
             "novgg_val_loss": float(np.mean(losses)),
