@@ -514,6 +514,12 @@ def reduce_color_depth_and_dither(
             return pallas_palette_dither(
                 img_f.astype(np.float32), palette_u8, "checkerboard"
             )
+        # native C++ kernel when available (same dispatch pattern as error
+        # diffusion; byte-identical to numpy — tests/test_quantize.py)
+        from ..runtime import native
+
+        if native.available() and palette_u8.shape[0] >= 2:
+            return native.checkerboard(img_f, palette_u8)
         return checkerboard_dither(img_f, palette_u8)
 
     if dithering_method.startswith("bayer"):

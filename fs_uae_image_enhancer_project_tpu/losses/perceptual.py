@@ -8,8 +8,9 @@ Functional counterpart of reference ``PerceptualLoss`` (loss_vgg.py:36-210):
           + lum_w   * L1(Y(o'), Y(t'))
 
 with the reference's exact quirks: when ``input_is_linear`` the output is
-clamped to [0,1] before linear->sRGB for the VGG branch but the target is NOT
-clamped (loss_vgg.py:171-177); the VGG normalization uses std=1/255
+clamped to [0,1] AFTER linear->sRGB for the VGG branch (clamp of the pow's
+result — loss_vgg.py:174) while the target is not clamped at all
+(loss_vgg.py:171-177); the VGG normalization uses std=1/255
 (loss_vgg.py:113-114); the luminance branch consumes the VGG-normalized
 tensors (loss_vgg.py:192-194).
 """

@@ -132,6 +132,7 @@ def convert_torchvision_state_dict(state: Dict[str, np.ndarray], out_path: str) 
         w = np.asarray(state[f"features.{i}.weight"], np.float32)
         out[f"features.{i}.weight"] = np.transpose(w, (2, 3, 1, 0))  # -> HWIO
         out[f"features.{i}.bias"] = np.asarray(state[f"features.{i}.bias"], np.float32)
+    out_path = os.path.abspath(out_path)  # bare filenames: dirname('') fails
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
     np.savez_compressed(out_path, **out)
 

@@ -117,20 +117,50 @@ class SidecarServer:
             print(f"[sidecar] {msg}", flush=True)
 
     def warmup(self) -> None:
-        """Compile + first-execution cost up front, not on frame 1."""
+        """Compile + first-execution cost up front, not on frame 1.
+
+        Also validates the enhance fn's output contract here — a fn that
+        returns the wrong shape/dtype would otherwise sendall() a payload
+        whose length differs from the advertised frame_bytes, silently
+        desynchronizing every client's fixed-size reads."""
         import jax
 
         frame = np.zeros((1, self.h, self.w, 4), np.uint8)
-        out = self.fn(jax.numpy.asarray(frame))
-        np.asarray(out)
+        out = np.asarray(self.fn(jax.numpy.asarray(frame)))
+        if out.shape != (1, self.h, self.w, 4) or out.dtype != np.uint8:
+            raise ValueError(
+                f"enhance_fn must map (1,{self.h},{self.w},4) uint8 -> same; "
+                f"got {out.shape} {out.dtype} — serving it would break the "
+                "wire protocol's fixed frame size"
+            )
         self._log("warmup complete (program compiled and executed)")
 
     def bind(self) -> None:
         if os.path.exists(self.socket_path):
-            os.unlink(self.socket_path)
+            # Only steal the path from a DEAD server: connecting to a live
+            # unix socket succeeds, to a stale one fails (ECONNREFUSED).
+            # Unconditional unlink would orphan a running server (it keeps
+            # serving an unreachable socket) and, worse, its exit cleanup
+            # would then delete OUR healthy socket.
+            probe = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+            try:
+                probe.settimeout(1.0)
+                probe.connect(self.socket_path)
+                probe.close()
+                raise RuntimeError(
+                    f"another sidecar is already serving {self.socket_path}; "
+                    "use a different --socket or shut the other one down"
+                )
+            except (ConnectionRefusedError, socket.timeout, FileNotFoundError):
+                probe.close()
+                os.unlink(self.socket_path)
         self._sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
         self._sock.bind(self.socket_path)
         self._sock.listen(self.max_clients)
+        # remember which inode we own so exit cleanup never unlinks a
+        # NEWER socket another process bound at the same path
+        st = os.stat(self.socket_path)
+        self._sock_id = (st.st_dev, st.st_ino)
         self._log(f"listening on {self.socket_path} "
                   f"({self.w}x{self.h}, depth {self.depth}, "
                   f"max_clients {self.max_clients})")
@@ -169,6 +199,15 @@ class SidecarServer:
                 conn.settimeout(None)
                 with self._conns_lock:
                     self._conns.add(conn)
+                if self._shutdown.is_set():
+                    # closes the race with _request_shutdown: it sets the
+                    # flag BEFORE broadcasting SHUT_RDWR over _conns, so a
+                    # conn added after that broadcast sees the flag here
+                    with self._conns_lock:
+                        self._conns.discard(conn)
+                    conn.close()
+                    slots.release()
+                    break
 
                 def session(conn=conn):
                     try:
@@ -193,8 +232,12 @@ class SidecarServer:
             for t in threads:
                 t.join(timeout=60)
             self._sock = None
-            if os.path.exists(self.socket_path):
-                os.unlink(self.socket_path)
+            try:
+                st = os.stat(self.socket_path)
+                if (st.st_dev, st.st_ino) == getattr(self, "_sock_id", None):
+                    os.unlink(self.socket_path)  # still ours — clean up
+            except OSError:
+                pass
 
     def _request_shutdown(self) -> None:
         """Stop accepting and unblock every live session's recv."""
@@ -273,6 +316,7 @@ class SidecarClient:
             raise RuntimeError(f"bad handshake: {magic} v{ver} ch{ch}")
         self.depth, self.h, self.w = depth, h, w
         self.frame_bytes = h * w * 4
+        self._pending = 0  # frames in flight in the server's pipeline
 
     def _read_frame(self) -> np.ndarray:
         tag = _recv_exact(self.sock, 1)
@@ -291,7 +335,7 @@ class SidecarClient:
             raise ValueError(f"frame must be {(self.h, self.w, 4)}, "
                              f"got {frame.shape}")
         self.sock.sendall(bytes([OP_FRAME]) + frame.tobytes())
-        self._pending = getattr(self, "_pending", 0) + 1
+        self._pending += 1
         if self.depth == 0 or self._pending > self.depth:
             self._pending -= 1
             return self._read_frame()
@@ -319,7 +363,7 @@ class SidecarClient:
             payload = _recv_exact(self.sock, self.frame_bytes)
             if payload is None:
                 raise RuntimeError("server closed the connection mid-frame")
-            self._pending = max(getattr(self, "_pending", 1) - 1, 0)
+            self._pending = max(self._pending - 1, 0)
             frames.append(
                 np.frombuffer(payload, np.uint8).reshape(self.h, self.w, 4))
 

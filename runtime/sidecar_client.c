@@ -7,9 +7,14 @@
  *     fse_client *c = fse_connect("/tmp/fsuae_enhance.sock");
  *     // per emulator frame (RGBA chunky, c->height x c->width):
  *     const uint8_t *out = fse_enhance(c, framebuffer);
- *     // out is NULL during pipeline warmup (first c->depth frames);
- *     // show the raw frame those times.
+ *     // out is NULL during pipeline warmup (first c->depth frames) —
+ *     // show the raw frame those times — AND on I/O failure (sidecar
+ *     // died). Distinguish with fse_error(c): nonzero means the session
+ *     // is dead and the emulator should fse_close() and reconnect.
  *     fse_close(c);
+ *
+ * Writes use send(MSG_NOSIGNAL), never write(): a crashed sidecar must
+ * surface as an error return, not as a SIGPIPE that kills the emulator.
  *
  * Build as the replay tool:  make sidecar_replay   (runtime/Makefile)
  *     ./build/sidecar_replay <socket> <raw_in> <raw_out> [loops]
@@ -36,8 +41,12 @@ typedef struct {
     uint8_t depth;
     size_t frame_bytes;
     size_t pending;
+    int error; /* sticky: any I/O failure marks the session dead */
     uint8_t *recv_buf;
 } fse_client;
+
+/* Nonzero once any read/write on the session failed (server died). */
+int fse_error(const fse_client *c) { return c ? c->error : 1; }
 
 static int read_exact(int fd, void *buf, size_t n) {
     uint8_t *p = (uint8_t *)buf;
@@ -53,7 +62,9 @@ static int read_exact(int fd, void *buf, size_t n) {
 static int write_exact(int fd, const void *buf, size_t n) {
     const uint8_t *p = (const uint8_t *)buf;
     while (n > 0) {
-        ssize_t r = write(fd, p, n);
+        /* MSG_NOSIGNAL: a half-closed socket (dead server) must return
+         * EPIPE, not raise SIGPIPE and kill the host emulator process */
+        ssize_t r = send(fd, p, n, MSG_NOSIGNAL);
         if (r <= 0) return -1;
         p += r;
         n -= (size_t)r;
@@ -99,22 +110,36 @@ fse_client *fse_connect(const char *socket_path) {
 
 static const uint8_t *fse_read_frame(fse_client *c) {
     uint8_t tag;
-    if (read_exact(c->fd, &tag, 1) != 0 || tag != FSE_RE_FRAME) return NULL;
-    if (read_exact(c->fd, c->recv_buf, c->frame_bytes) != 0) return NULL;
+    if (read_exact(c->fd, &tag, 1) != 0 || tag != FSE_RE_FRAME) {
+        c->error = 1;
+        return NULL;
+    }
+    if (read_exact(c->fd, c->recv_buf, c->frame_bytes) != 0) {
+        c->error = 1;
+        return NULL;
+    }
     return c->recv_buf;
 }
 
 /* Submit one RGBA frame; returns the enhanced frame (delayed by `depth`
- * frames when pipelined), or NULL during warmup. The returned pointer is
- * valid until the next fse_* call. */
+ * frames when pipelined), or NULL during warmup OR on I/O failure —
+ * check fse_error(c) to tell the two apart. The returned pointer is
+ * valid until the next fse_* call. pending only decrements when a frame
+ * actually arrived, so the client count cannot drift from the server's
+ * pipeline state on a failed read. */
 const uint8_t *fse_enhance(fse_client *c, const uint8_t *frame) {
     uint8_t op = FSE_OP_FRAME;
-    if (write_exact(c->fd, &op, 1) != 0) return NULL;
-    if (write_exact(c->fd, frame, c->frame_bytes) != 0) return NULL;
+    if (c->error) return NULL;
+    if (write_exact(c->fd, &op, 1) != 0 ||
+        write_exact(c->fd, frame, c->frame_bytes) != 0) {
+        c->error = 1;
+        return NULL;
+    }
     c->pending++;
     if (c->depth == 0 || c->pending > c->depth) {
-        c->pending--;
-        return fse_read_frame(c);
+        const uint8_t *out = fse_read_frame(c);
+        if (out) c->pending--;
+        return out;
     }
     return NULL;
 }
@@ -122,13 +147,17 @@ const uint8_t *fse_enhance(fse_client *c, const uint8_t *frame) {
 /* Flush in-flight frames; cb is called once per drained frame (may be NULL). */
 int fse_drain(fse_client *c, void (*cb)(const uint8_t *, void *), void *ud) {
     uint8_t op = FSE_OP_DRAIN;
-    if (write_exact(c->fd, &op, 1) != 0) return -1;
+    if (c->error) return -1;
+    if (write_exact(c->fd, &op, 1) != 0) { c->error = 1; return -1; }
     for (;;) {
         uint8_t tag;
-        if (read_exact(c->fd, &tag, 1) != 0) return -1;
+        if (read_exact(c->fd, &tag, 1) != 0) { c->error = 1; return -1; }
         if (tag == FSE_RE_DRAIN_DONE) return 0;
-        if (tag != FSE_RE_FRAME) return -1;
-        if (read_exact(c->fd, c->recv_buf, c->frame_bytes) != 0) return -1;
+        if (tag != FSE_RE_FRAME) { c->error = 1; return -1; }
+        if (read_exact(c->fd, c->recv_buf, c->frame_bytes) != 0) {
+            c->error = 1;
+            return -1;
+        }
         if (c->pending) c->pending--;
         if (cb) cb(c->recv_buf, ud);
     }
@@ -169,6 +198,11 @@ int main(int argc, char **argv) {
         return 2;
     }
     int loops = argc > 4 ? atoi(argv[4]) : 1;
+    if (loops <= 0) {
+        fprintf(stderr, "loops must be a positive integer, got '%s'\n",
+                argv[4]);
+        return 2;
+    }
     fse_client *c = fse_connect(argv[1]);
     if (!c) {
         fprintf(stderr, "connect failed: %s\n", argv[1]);
@@ -200,8 +234,13 @@ int main(int argc, char **argv) {
         }
     }
     keep_ctx k = {last, c->frame_bytes, &got};
-    fse_drain(c, keep_cb, &k);
+    int drain_rc = fse_drain(c, keep_cb, &k);
     clock_gettime(CLOCK_MONOTONIC, &t1);
+    if (drain_rc != 0 || fse_error(c)) {
+        fprintf(stderr, "sidecar session failed mid-replay (server died?)\n");
+        fse_close(c);
+        return 1;
+    }
     double ms = (t1.tv_sec - t0.tv_sec) * 1e3 + (t1.tv_nsec - t0.tv_nsec) / 1e6;
     printf("{\"frames\": %d, \"ms_per_frame\": %.3f, \"fps\": %.1f, "
            "\"depth\": %d}\n",
