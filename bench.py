@@ -89,6 +89,11 @@ def _preempt_background_training() -> None:
     chip. BENCH_PREEMPT=0 disables."""
     if os.environ.get("BENCH_PREEMPT", "1") != "1":
         return
+    plats = os.environ.get("JAX_PLATFORMS", "")
+    if plats and "tpu" not in plats and "axon" not in plats:
+        # a CPU-pinned smoke bench never touches the chip — killing the
+        # background trainer would stop hours of work for nothing
+        return
     pidfile = "/tmp/tps3.pid"
     try:
         with open(pidfile) as f:

@@ -18,7 +18,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-REF = "/root/reference/model"
+from common import REF, TRAINED_CKPTS  # noqa: E402 — single checkpoint source
 
 
 def main() -> int:
@@ -91,7 +91,7 @@ def main() -> int:
     # ---- conv6 (trained weights, linear domain) --------------------------
     m = get_model("conv6")
     params = m.init(jax.random.key(0))
-    ck = "/root/work/train_conv6/checkpoint_best_conv6"
+    ck = TRAINED_CKPTS["conv6"]
     if os.path.isdir(ck):
         params = load_params(ck, params)
     for tag, kw in (

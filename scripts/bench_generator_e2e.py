@@ -104,6 +104,11 @@ def run_once(tag: str, palette_algorithm: str, backend: str,
 
 
 def main() -> int:
+    from fs_uae_image_enhancer_project_tpu.utils.platform import (
+        honor_jax_platforms_env,
+    )
+
+    honor_jax_platforms_env()  # CLI convention: JAX_PLATFORMS binds
     results = {
         "slice": {
             "images": N_IMAGES,

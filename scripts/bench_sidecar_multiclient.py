@@ -132,7 +132,9 @@ def main(argv=None) -> int:
     ap.add_argument("--clients", type=int, nargs="+", default=[1, 2, 4])
     ap.add_argument("--seconds", type=float, default=20.0)
     ap.add_argument("--depth", type=int, default=2)
-    ap.add_argument("--out", default="artifacts/sidecar_multiclient_r4.json")
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "artifacts", "sidecar_multiclient_r4.json"))
     args = ap.parse_args(argv)
 
     sock = f"/tmp/bench_sidecar_{os.getpid()}.sock"
@@ -155,7 +157,13 @@ def main(argv=None) -> int:
             c.close()
         except Exception:
             server.kill()
-        server.wait(timeout=60)
+        try:
+            server.wait(timeout=60)
+        except subprocess.TimeoutExpired:
+            # this VM stalls in iowait for minutes; the measurements are
+            # already taken — kill the server rather than lose the report
+            server.kill()
+            server.wait(timeout=60)
 
     report = {
         "date": time.strftime("%Y-%m-%d"),
@@ -169,8 +177,9 @@ def main(argv=None) -> int:
                  "sessions sharing one compiled program / one chip"),
         "rows": rows,
     }
-    os.makedirs(os.path.dirname(args.out), exist_ok=True)
-    with open(args.out, "w") as f:
+    out = os.path.abspath(args.out)
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    with open(out, "w") as f:
         json.dump(report, f, indent=2)
     print(json.dumps(report["rows"]))
     return 0

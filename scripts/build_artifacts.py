@@ -305,6 +305,11 @@ def build_residual_unet_artifact() -> None:
 
 
 def main() -> int:
+    from fs_uae_image_enhancer_project_tpu.utils.platform import (
+        honor_jax_platforms_env,
+    )
+
+    honor_jax_platforms_env()  # CLI convention: JAX_PLATFORMS binds
     import numpy as np
     from PIL import Image
 

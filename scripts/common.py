@@ -16,6 +16,8 @@ TRAINED_CKPTS = {
     "conv6": "/root/work/train_conv6/checkpoint_best_conv6",
     "residual_unet": "/root/work/train_unet/checkpoint_best_residual_unet",
     "pix_shuffle_heavy": "/root/work/train_psh/checkpoint_best_pix_shuffle",
+    # the long fresh run (scripts/train_psh_long.py --out default)
+    "pix_shuffle_long": "/root/work/train_psh_long/checkpoint_best_pix_shuffle",
 }
 
 
@@ -26,3 +28,64 @@ def psnr_u8(a, b) -> float:
 
     mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
     return round(99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse), 2)
+
+
+def vggfree_eval(model, params, val_iter, sync_every: int = 8):
+    """The ONE cross-run scoring protocol: vgg-free pixel criterion + sRGB
+    PSNR over a deterministic validation iterator.
+
+    Both scripts/training_parity_study.py (ablation rows) and
+    scripts/eval_headtohead.py (reference-vs-trained rows) call THIS
+    function, so their numbers are comparable by construction — previously
+    each carried a hand-synchronized copy of the same ~35 lines.
+
+    Loss/PSNR scalars stay on device and are fetched in one stacked
+    transfer (per-batch float() costs a tunnel RTT per batch — see
+    trainer.py loss_sync_steps); ``sync_every`` bounds dispatch runahead.
+
+    Returns {"loss": float, "srgb_psnr_db": float, "batches": int}.
+    """
+    import dataclasses
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from fs_uae_image_enhancer_project_tpu.data.dataset import batch_transform
+    from fs_uae_image_enhancer_project_tpu.losses.perceptual import (
+        build_criterion,
+    )
+
+    criterion = build_criterion(
+        dataclasses.replace(model.loss, vgg_weight=0.0)
+    )
+    to_float = batch_transform(model.linear_io)
+
+    @jax.jit
+    def eval_step(p, lr_b, hr_b):
+        lr_b, hr_b = to_float(lr_b), to_float(hr_b)
+        y = model.apply(p, lr_b.astype(jnp.bfloat16)).astype(jnp.float32)
+        loss = criterion(y, hr_b)
+        # PSNR in the sRGB domain (linear io -> gamma for display)
+        ys = jnp.clip(y, 0, None) ** (1 / 2.2)
+        ts = jnp.clip(hr_b, 0, None) ** (1 / 2.2)
+        return loss, jnp.mean((ys - ts) ** 2)
+
+    losses, mses = [], []
+    for i, (lr_b, hr_b) in enumerate(val_iter):
+        l, e = eval_step(params, jnp.asarray(lr_b), jnp.asarray(hr_b))
+        losses.append(l)
+        mses.append(e)
+        if (i + 1) % max(sync_every, 1) == 0:
+            e.block_until_ready()
+    if not losses:
+        return {"loss": float("nan"), "srgb_psnr_db": float("nan"),
+                "batches": 0}
+    losses = np.asarray(jnp.stack(losses), np.float32)
+    mses = np.asarray(jnp.stack(mses), np.float32)
+    mse = float(np.mean(mses))
+    return {
+        "loss": float(np.mean(losses)),
+        "srgb_psnr_db": float(10 * np.log10(1.0 / mse)) if mse > 0 else 99.0,
+        "batches": int(len(mses)),
+    }

@@ -48,7 +48,11 @@ def main(argv=None) -> int:
     ap.add_argument("--crop_size", type=int, nargs=2, default=[376, 288])
     ap.add_argument("--num_samples", type=int, default=1024)
     ap.add_argument("--batch_size", type=int, default=8)
-    ap.add_argument("--out", default="artifacts/headtohead_r4.json")
+    # anchored to the repo (not cwd): the unattended pipeline runs this
+    # with an absolute script path from elsewhere
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "artifacts", "headtohead_r4.json"))
     args = ap.parse_args(argv)
 
     from fs_uae_image_enhancer_project_tpu.utils.compile_cache import (
@@ -57,21 +61,13 @@ def main(argv=None) -> int:
 
     enable_persistent_cache()
 
-    import dataclasses
-
-    import numpy as np
     import jax
-    import jax.numpy as jnp
 
     from fs_uae_image_enhancer_project_tpu.data import (
         SRDataset, gather_all_samples_from_directory, split_pairs,
     )
-    from fs_uae_image_enhancer_project_tpu.data.dataset import batch_transform
     from fs_uae_image_enhancer_project_tpu.export.onnx_import import (
         import_pix_shuffle,
-    )
-    from fs_uae_image_enhancer_project_tpu.losses.perceptual import (
-        build_criterion,
     )
     from fs_uae_image_enhancer_project_tpu.models import get_model
     from fs_uae_image_enhancer_project_tpu.train.trainer import load_params
@@ -84,47 +80,23 @@ def main(argv=None) -> int:
     _, val_pool = split_pairs(pairs, 0.1)  # seed=0: the study's exact split
     print(f"held-out pool: {len(val_pool)} pairs", flush=True)
 
+    from common import vggfree_eval  # the ONE cross-run scoring protocol
+
     def run_row(model, params, label):
-        """Same eval as training_parity_study.evaluate: deterministic val
-        draws (seed=1, flips off), vgg-free criterion, sRGB PSNR."""
-        criterion = build_criterion(
-            dataclasses.replace(model.loss, vgg_weight=0.0)
-        )
-        to_float = batch_transform(model.linear_io)
-
-        @jax.jit
-        def eval_step(p, lr_b, hr_b):
-            lr_b, hr_b = to_float(lr_b), to_float(hr_b)
-            y = model.apply(p, lr_b.astype(jnp.bfloat16)).astype(jnp.float32)
-            loss = criterion(y, hr_b)
-            ys = jnp.clip(y, 0, None) ** (1 / 2.2)
-            ts = jnp.clip(hr_b, 0, None) ** (1 / 2.2)
-            return loss, jnp.mean((ys - ts) ** 2)
-
+        """Same eval as training_parity_study: both call common.vggfree_eval
+        (deterministic val draws seed=1, flips off, vgg-free criterion,
+        sRGB PSNR) — shared by construction, not by hand-synchronization."""
         va = SRDataset(val_pool, crop, args.num_samples,
                        batch_size=args.batch_size, flips=False, seed=1,
                        transfer_dtype="uint8")
-        losses, mses = [], []
         t0 = time.perf_counter()
-        # device scalars accumulate; one stacked fetch at the end (a float()
-        # per batch costs a full tunnel RTT per batch — trainer.py
-        # loss_sync_steps rationale)
-        for i, (lr_b, hr_b) in enumerate(iter(va)):
-            l, e = eval_step(params, jnp.asarray(lr_b), jnp.asarray(hr_b))
-            losses.append(l)
-            mses.append(e)
-            if (i + 1) % 8 == 0:
-                e.block_until_ready()  # bounded runahead
-        losses = np.asarray(jnp.stack(losses), np.float32)
-        mses = np.asarray(jnp.stack(mses), np.float32)
-        dt = time.perf_counter() - t0
-        mse = float(np.mean(mses))
+        r = vggfree_eval(model, params, iter(va))
         row = {
             "label": label,
-            "pixel_loss_vggfree": float(np.mean(losses)),
-            "srgb_psnr_db": float(10 * np.log10(1.0 / mse)) if mse > 0 else 99.0,
-            "batches": len(mses),
-            "eval_s": round(dt, 1),
+            "pixel_loss_vggfree": r["loss"],
+            "srgb_psnr_db": r["srgb_psnr_db"],
+            "batches": r["batches"],
+            "eval_s": round(time.perf_counter() - t0, 1),
         }
         print(json.dumps(row), flush=True)
         return row
@@ -148,7 +120,9 @@ def main(argv=None) -> int:
                         "trained here: pix_shuffle plateau-50"))
 
     # 2b. the long fresh run (scripts/train_psh_long.py), when present
-    ck_l = "/root/work/train_psh_long/checkpoint_best_pix_shuffle"
+    from common import TRAINED_CKPTS  # single source for local checkpoints
+
+    ck_l = TRAINED_CKPTS["pix_shuffle_long"]
     if os.path.isdir(ck_l):
         params_l = load_params(ck_l, base.init(jax.random.key(0)))
         rows.append(run_row(base, params_l,
@@ -156,7 +130,7 @@ def main(argv=None) -> int:
 
     # 3. this framework's pix_shuffle_heavy (larger TPU-friendly variant)
     heavy = get_model("pix_shuffle", "heavy")
-    ck_h = "/root/work/train_psh/checkpoint_best_pix_shuffle"
+    ck_h = TRAINED_CKPTS["pix_shuffle_heavy"]
     if os.path.isdir(ck_h):
         params_h = load_params(ck_h, heavy.init(jax.random.key(0)))
         rows.append(run_row(heavy, params_h,
@@ -181,10 +155,11 @@ def main(argv=None) -> int:
         ],
         "rows": rows,
     }
-    os.makedirs(os.path.dirname(args.out), exist_ok=True)
-    with open(args.out, "w") as f:
+    out = os.path.abspath(args.out)  # bare filenames: dirname('') fails
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    with open(out, "w") as f:
         json.dump(report, f, indent=1)
-    print("wrote", args.out, flush=True)
+    print("wrote", out, flush=True)
     return 0
 
 

@@ -38,6 +38,11 @@ MIN_FPS = float(os.environ.get("NAS_MIN_FPS", "0"))  # 0 = no gate (ref parity)
 
 
 def main() -> int:
+    from fs_uae_image_enhancer_project_tpu.utils.platform import (
+        honor_jax_platforms_env,
+    )
+
+    honor_jax_platforms_env()  # CLI convention: JAX_PLATFORMS binds
     from fs_uae_image_enhancer_project_tpu.utils.compile_cache import (
         enable_persistent_cache,
     )

@@ -41,11 +41,12 @@ def read_curve(path):
     header, rows = rows[0], rows[1:]
     ei = header.index("Epoch")
     vi = [i for i, h in enumerate(header) if "Validation" in h][0]
-    pts = sorted((int(r[ei]), float(r[vi])) for r in rows)
-    # CSV resume can duplicate epochs across stages: keep the last write
+    # CSV resume can duplicate epochs across stages: keep the LAST write
+    # in FILE order (sorting first would keep the largest value instead —
+    # the stale pre-resume row whenever the resumed epoch improved)
     dedup = {}
-    for e, v in pts:
-        dedup[e] = v
+    for r in rows:
+        dedup[int(r[ei])] = float(r[vi])
     return sorted(dedup.items())
 
 

@@ -62,14 +62,11 @@ def main() -> int:
 
     enable_persistent_cache()
 
-    import numpy as np
     import jax
-    import jax.numpy as jnp
 
     from fs_uae_image_enhancer_project_tpu.data import (
         SRDataset, gather_all_samples_from_directory, split_pairs,
     )
-    from fs_uae_image_enhancer_project_tpu.losses.perceptual import build_criterion
     from fs_uae_image_enhancer_project_tpu.models import get_model
     from fs_uae_image_enhancer_project_tpu.train.trainer import (
         Trainer, TrainerConfig, load_checkpoint, load_params,
@@ -119,49 +116,20 @@ def main() -> int:
 
     # shared cross-evaluation: every run is scored under the SAME vgg-free
     # criterion + sRGB PSNR so rows are comparable regardless of which VGG
-    # features (none / random / self-trained) trained them
-    novgg_criterion = build_criterion(
-        dataclasses.replace(base.loss, vgg_weight=0.0)
-    )
+    # features (none / random / self-trained) trained them; the protocol
+    # lives in common.vggfree_eval and is shared with eval_headtohead.py
+    from common import vggfree_eval
 
     def evaluate(ckpt_dir):
         params = load_params(
             os.path.join(ckpt_dir, "checkpoint_best_pix_shuffle"),
             base.init(jax.random.key(0)),
         )
-
-        from fs_uae_image_enhancer_project_tpu.data.dataset import (
-            batch_transform,
-        )
-
-        to_float = batch_transform(base.linear_io)
-
-        @jax.jit
-        def eval_step(p, lr_b, hr_b):
-            lr_b, hr_b = to_float(lr_b), to_float(hr_b)
-            y = base.apply(p, lr_b.astype(jnp.bfloat16)).astype(jnp.float32)
-            loss = novgg_criterion(y, hr_b)
-            # PSNR in the sRGB domain (linear io -> gamma for display)
-            ys = jnp.clip(y, 0, None) ** (1 / 2.2)
-            ts = jnp.clip(hr_b, 0, None) ** (1 / 2.2)
-            mse = jnp.mean((ys - ts) ** 2)
-            return loss, mse
-
         _, va = make_ds()
-        losses, mses = [], []
-        # device scalars, one stacked fetch (no per-batch tunnel RTT)
-        for i, (lr_b, hr_b) in enumerate(iter(va)):
-            l, e = eval_step(params, jnp.asarray(lr_b), jnp.asarray(hr_b))
-            losses.append(l)
-            mses.append(e)
-            if (i + 1) % 8 == 0:
-                e.block_until_ready()
-        losses = np.asarray(jnp.stack(losses), np.float32)
-        mses = np.asarray(jnp.stack(mses), np.float32)
-        mse = float(np.mean(mses))
+        r = vggfree_eval(base, params, iter(va))
         return {
-            "novgg_val_loss": float(np.mean(losses)),
-            "srgb_psnr_db": float(10 * np.log10(1.0 / mse)) if mse > 0 else 99.0,
+            "novgg_val_loss": r["loss"],
+            "srgb_psnr_db": r["srgb_psnr_db"],
         }
 
     summary = {}
