@@ -442,3 +442,70 @@ def test_residual_unet_matches_reference_golden():
             atol=2e-5, rtol=2e-5)
         np.testing.assert_allclose(np.asarray(y), ref, **tol,
                                    err_msg=f"case {tag}")
+
+
+def _pix_shuffle_params_from_manifest(tag, manifest):
+    """Map the reference pix_shuffle state_dict (model_pix_shuffle.py
+    :118-225 module tree) onto our param pytree, regenerating values with
+    the shared crc32 scheme."""
+    p = {}
+
+    def put_conv(our, part, v):
+        d = p.setdefault(our, {})
+        if part == "weight":
+            d["w"] = jnp.asarray(np.transpose(v, (2, 3, 1, 0)))
+        else:
+            d["b"] = jnp.asarray(v)
+
+    for name, shape in manifest.items():
+        v = _regen_unet_weight(f"{tag}/{name}", tuple(shape))
+        parts = name.split(".")
+        head = parts[0]
+        if head.startswith("conv"):
+            put_conv(head, parts[1], v)
+        elif head in ("skip1_proj_conv", "skip2_proj_conv"):
+            put_conv(head[:10], parts[1], v)
+        else:  # l{li}_act{si} learnable activation params
+            d = p.setdefault(head, {})
+            rest = parts[1:]
+            if rest == ["a"]:
+                d["a"] = jnp.asarray(v)
+            elif rest == ["b"]:
+                d["b"] = jnp.asarray(v)
+            elif rest == ["bias"]:
+                d["bias"] = jnp.asarray(v)
+            elif rest in (["weight"], ["prelu", "weight"]):
+                d["slope"] = jnp.asarray(v.reshape(-1))
+            else:
+                raise AssertionError(f"unmapped state_dict key {name}")
+    return p
+
+
+def test_pix_shuffle_matches_reference_golden():
+    """FULL-MODEL parity with the reference's actual production model
+    (torch goldens from tests/golden_gen/gen_pix_shuffle_model_goldens.py).
+    The lightweight wiring is also pinned by predicted-frame parity with
+    shipped weights; this adds random-weight coverage (sinlu/biased_prelu
+    params away from trained values) and the ONLY reference-executed
+    evidence for the heavyweight config (no reference artifact exists)."""
+    import json
+    import os
+
+    from fs_uae_image_enhancer_project_tpu.models import pix_shuffle as ps
+
+    g = np.load(os.path.join(os.path.dirname(__file__), "goldens",
+                             "pix_shuffle_model_goldens.npz"))
+    cases = {
+        "light": ps.lightweight_config(),
+        "heavy": ps.heavyweight_config(),
+    }
+    for tag, cfg in cases.items():
+        manifest = json.loads(bytes(g[f"{tag}_manifest"]).decode())
+        p = _pix_shuffle_params_from_manifest(tag, manifest)
+        x = jnp.asarray(np.transpose(g[f"{tag}_x"], (0, 2, 3, 1)))
+        y = np.asarray(jax.jit(
+            lambda p, x: ps.apply(p, x, cfg))(p, x))
+        ref = np.transpose(g[f"{tag}_y"], (0, 2, 3, 1))
+        # measured max abs err: light 3.6e-7, heavy 7.8e-7
+        np.testing.assert_allclose(np.asarray(y), ref, atol=2e-5,
+                                   rtol=2e-5, err_msg=f"case {tag}")
