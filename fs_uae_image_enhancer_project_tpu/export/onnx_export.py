@@ -102,14 +102,25 @@ class _ModelEmitter:
             th = b.add_node("Tanh", [e])[0]
             return b.add_node("Mul", [x, th], [f"{slot}_out"])[0]
         if name == "gelu":
-            # opset-13-valid erf decomposition (Gelu op needs opset >= 20):
-            # 0.5 * x * (1 + erf(x / sqrt(2)))
-            sq2 = self.scalar(f"{slot}_sqrt2", 1.4142135623730951)
             half = self.scalar(f"{slot}_half", 0.5)
             one = self.scalar(f"{slot}_one", 1.0)
-            d = b.add_node("Div", [x, sq2])[0]
-            e = b.add_node("Erf", [d])[0]
-            a = b.add_node("Add", [e, one])[0]
+            if str(cfg.get("approximate", "none")) == "tanh":
+                # tanh approximation (torch GELU(approximate='tanh')):
+                # 0.5 * x * (1 + tanh(sqrt(2/pi) * (x + 0.044715 x^3)))
+                c0 = self.scalar(f"{slot}_c0", 0.7978845608028654)
+                c1 = self.scalar(f"{slot}_c1", 0.044715)
+                x2 = b.add_node("Mul", [x, x])[0]
+                x3 = b.add_node("Mul", [x2, x])[0]
+                inner = b.add_node("Add", [x, b.add_node("Mul", [x3, c1])[0]])[0]
+                t = b.add_node("Tanh", [b.add_node("Mul", [inner, c0])[0]])[0]
+                a = b.add_node("Add", [t, one])[0]
+            else:
+                # opset-13-valid erf decomposition (Gelu op needs opset >= 20):
+                # 0.5 * x * (1 + erf(x / sqrt(2)))
+                sq2 = self.scalar(f"{slot}_sqrt2", 1.4142135623730951)
+                d = b.add_node("Div", [x, sq2])[0]
+                e = b.add_node("Erf", [d])[0]
+                a = b.add_node("Add", [e, one])[0]
             xm = b.add_node("Mul", [x, a])[0]
             return b.add_node("Mul", [xm, half], [f"{slot}_out"])[0]
         if name == "elu":

@@ -7,11 +7,16 @@ L1 (loss_vgg.py:192-197, kornia convention), plus plain L1.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops.conv import depthwise_conv2d
 
-LAPLACIAN_KERNEL = jnp.array(
-    [[0.0, 1.0, 0.0], [1.0, -4.0, 1.0], [0.0, 1.0, 0.0]], jnp.float32
+# numpy on purpose: a module-scope jnp.array would initialize the JAX
+# backend at import time, pinning the platform before a CLI's
+# honor_jax_platforms_env() can run (the platform cannot change after
+# first backend use — CLAUDE.md). laplacian_hf_loss casts per call.
+LAPLACIAN_KERNEL = np.array(
+    [[0.0, 1.0, 0.0], [1.0, -4.0, 1.0], [0.0, 1.0, 0.0]], np.float32
 )
 
 

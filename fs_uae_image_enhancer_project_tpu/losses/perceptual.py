@@ -62,9 +62,12 @@ def make_perceptual_loss(
             out_srgb = vgg_mod.normalize(
                 jnp.clip(linear_to_srgb_approx(jnp.clip(output, eps, None)), 0.0, 1.0)
             )
-            tgt_srgb = vgg_mod.normalize(
-                linear_to_srgb_approx(jnp.clip(target, eps, None))
-            )
+            # the TARGET is deliberately NOT eps-clamped: no gradient flows
+            # through it, pow(0) is an exact 0, and clamping would shift
+            # true-black pixels by (1e-6)**(1/2.2) ~= 1.9e-3 (~0.48 after
+            # the x255 VGG normalization) away from the reference's values
+            # (loss_vgg.py:173 applies no clamp to the target)
+            tgt_srgb = vgg_mod.normalize(linear_to_srgb_approx(target))
         else:
             out_srgb = vgg_mod.normalize(jnp.clip(output, 0.0, 1.0))
             tgt_srgb = vgg_mod.normalize(target)

@@ -48,11 +48,20 @@ class FPSCache:
                 self._data = {}
 
     @staticmethod
-    def make_key(arch_params: Dict[str, Any],
+    def make_key(arch_params,
                  backend: Optional[str] = None) -> str:
         """Canonical sorted-JSON key (optuna_study_opt_act.py:16-39),
-        prefixed with the measuring backend."""
+        prefixed with the measuring backend.
+
+        ``arch_params`` is either a dict or an already-canonical string —
+        callers pass ``models.configs.config_to_json(cfg)``, the documented
+        single NAS cache-key serialization."""
         backend = backend or _current_backend()
+        if isinstance(arch_params, str):
+            return json.dumps(
+                {"__backend__": backend, "config_json": arch_params},
+                sort_keys=True,
+            )
         return json.dumps({"__backend__": backend, **arch_params},
                           sort_keys=True, default=str)
 

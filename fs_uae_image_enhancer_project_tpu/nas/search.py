@@ -63,6 +63,16 @@ class _ParamSpec:
     choices: tuple = ()
 
 
+def _snap_to_lattice(v: float, low: float, high: float, step: float) -> float:
+    """Round v onto the {low + k*step} lattice, clamping k so the result
+    stays a lattice point even when (high - low) is not a step multiple
+    (a plain min(v, high) clamp could return an off-lattice high — e.g.
+    low=0 high=5 step=3 must yield {0, 3}, never 5; Optuna semantics)."""
+    max_k = int((high - low) // step)
+    k = min(max(round((v - low) / step), 0), max_k)
+    return low + k * step
+
+
 class RandomSampler:
     def __init__(self, seed: Optional[int] = None):
         self.rng = random.Random(seed)
@@ -76,11 +86,9 @@ class RandomSampler:
         else:
             v = r.uniform(spec.low, spec.high)
         if spec.kind == "int":
-            step = int(spec.step or 1)
-            v = spec.low + round((v - spec.low) / step) * step
-            return int(min(max(v, spec.low), spec.high))
+            return int(_snap_to_lattice(v, spec.low, spec.high, int(spec.step or 1)))
         if spec.step:
-            v = spec.low + round((v - spec.low) / spec.step) * spec.step
+            return float(_snap_to_lattice(v, spec.low, spec.high, spec.step))
         return float(min(max(v, spec.low), spec.high))
 
 
@@ -137,11 +145,9 @@ class TPESampler(RandomSampler):
                 best_score, best_x = s, x
         v = inv(best_x)
         if spec.kind == "int":
-            step = int(spec.step or 1)
-            v = spec.low + round((v - spec.low) / step) * step
-            return int(min(max(v, spec.low), spec.high))
+            return int(_snap_to_lattice(v, spec.low, spec.high, int(spec.step or 1)))
         if spec.step:
-            v = spec.low + round((v - spec.low) / spec.step) * spec.step
+            return float(_snap_to_lattice(v, spec.low, spec.high, spec.step))
         return float(min(max(v, spec.low), spec.high))
 
 
@@ -159,7 +165,12 @@ class MedianPruner:
         step = max(trial._intermediate)
         if step < self.n_warmup:
             return False
-        done = [t for t in history if t.state in (COMPLETE, PRUNED)]
+        # COMPLETE only (Optuna MedianPruner semantics, and this class's
+        # docstring): counting PRUNED trials would fold their bad early
+        # intermediates into the median — a self-weakening pruner — and
+        # would let min_fps-gate prunes (which report nothing) satisfy
+        # n_startup_trials before any trial has finished
+        done = [t for t in history if t.is_complete]
         if len(done) < self.n_startup:
             return False
         prior = [t.intermediate[step] for t in done if step in t.intermediate]

@@ -23,7 +23,7 @@ from typing import Any, Dict, List, Optional, Sequence
 
 import numpy as np
 
-from ..models.configs import Conv6Config, ConvLayerSpec, act
+from ..models.configs import Conv6Config, ConvLayerSpec, act, config_to_json
 from .fps_cache import FPSCache
 from .search import MedianPruner, Study, TrialPruned, TPESampler, create_study
 
@@ -35,22 +35,56 @@ ALL_ACTIVATIONS = [
     "sinlu", "biased_relu", "biased_prelu",
 ]
 
-# reduced set used by the first-round studies
-CORE_ACTIVATIONS = [
-    "identity", "relu", "relu6", "leaky_relu", "mish", "prelu",
-    "silu", "tanh", "telu",
-]
+# Per-slot choice sets, exactly the reference's: odd slots (act1/act3) draw
+# from a saturating set, even slots (act2/act4) from a rectifier set.
+# opt_act: optuna_study_opt_act.py:122-150
+OPT_ACT_SATURATING = ["identity", "tanh", "telu", "sinlu", "mish", "silu"]
+OPT_ACT_RECTIFIERS = ["identity", "relu", "leaky_relu", "biased_relu",
+                      "biased_prelu", "prelu", "relu6"]
+# prune_act: optuna_study_prune_act.py:122-162 (adds gelu/sigmoid/elu to
+# the saturating set, drops biased_prelu from the rectifier set)
+PRUNE_ACT_SATURATING = ["identity", "tanh", "telu", "gelu", "sigmoid",
+                        "sinlu", "elu", "mish", "silu"]
+PRUNE_ACT_RECTIFIERS = ["identity", "relu", "leaky_relu", "biased_relu",
+                        "prelu", "relu6"]
 
 # act slots per conv6 layer (matching the pix_shuffle/conv6 topology)
 LAYER_SLOTS = {1: 2, 2: 4, 3: 2, 4: 4, 5: 2, 6: 2, 7: 2}
 
 
 def suggest_activation_params(
-    trial, prefix: str, act_name: str, out_channels: int
+    trial, prefix: str, act_name: str, out_channels: int,
+    policy: str = "r2",
 ) -> Dict[str, Any]:
-    """Conditional activation sub-params
-    (optuna_study_prune_act_r2.py:135-159)."""
+    """Conditional activation sub-params, per study.
+
+    ``policy='r2'``: prune_act_r2's _get_activation_params
+    (optuna_study_prune_act_r2.py:135-159) — log-scale leaky_relu slope,
+    prelu num_parameters, elu alpha, gelu approximate, softmax axis.
+    ``policy='opt_act'``: optuna_study_opt_act.py:152-165 — LINEAR-scale
+    leaky_relu slope, num_parameters for prelu AND biased_prelu; the
+    caller applies it to even (rectifier) slots only, as the reference does.
+    ``policy='none'``: prune_act suggests no sub-params at all
+    (optuna_study_prune_act.py passes bare act names into Model).
+    """
     params: Dict[str, Any] = {}
+    if policy == "none":
+        return params
+    if policy == "opt_act":
+        if act_name == "leaky_relu":
+            params["negative_slope"] = trial.suggest_float(
+                f"{prefix}_negative_slope", 0.001, 0.5
+            )
+        elif act_name in ("prelu", "biased_prelu"):
+            choice = trial.suggest_categorical(
+                f"{prefix}_num_parameters_choice", ["global", "per_channel"]
+            )
+            params["num_parameters"] = (
+                1 if choice == "global" else out_channels
+            )
+        return params
+    if policy != "r2":
+        raise ValueError(f"unknown param policy {policy!r}")
     if act_name == "leaky_relu":
         params["negative_slope"] = trial.suggest_float(
             f"{prefix}_negative_slope", 0.001, 0.5, log=True
@@ -62,33 +96,66 @@ def suggest_activation_params(
         params["num_parameters"] = 1 if choice == "global" else out_channels
     elif act_name == "elu":
         params["alpha"] = trial.suggest_float(f"{prefix}_alpha", 0.1, 2.0)
+    elif act_name == "gelu":
+        params["approximate"] = trial.suggest_categorical(
+            f"{prefix}_approximate", ["none", "tanh"]
+        )
     elif act_name in ("log_softmax", "softmax"):
-        params["axis"] = -1  # channel axis in NHWC
+        params["axis"] = -1  # channel axis in NHWC (reference dim=1 in NCHW)
     return params
 
 
 def suggest_conv6_config(
     trial,
     *,
-    activation_choices: Sequence[str],
-    layers_to_search: Sequence[int] = (1, 2, 3, 4, 5, 6, 7),
+    searched_slots: Dict[int, int],
+    activation_choices: Optional[Sequence[str]] = None,
+    saturating_choices: Optional[Sequence[str]] = None,
+    rectifier_choices: Optional[Sequence[str]] = None,
+    param_policy: str = "r2",
     search_layer6_kernel: bool = False,
     channels: int = 36,
 ) -> Conv6Config:
-    """Build a Conv6Config from trial suggestions."""
+    """Build a Conv6Config from trial suggestions.
+
+    ``searched_slots`` maps layer -> number of act slots suggested (the
+    reference studies search different slot subsets: opt_act skips layers
+    3/5 entirely, prune_act_r2 searches only 2 of layer 4's slots and
+    stops at layer 6). Unsearched slots keep the conv6 Model DEFAULTS —
+    the reference passes no kwargs for them — not identity.
+    Slot choice sets: a single ``activation_choices`` list (prune_act_r2)
+    or per-parity ``saturating_choices``/``rectifier_choices`` (opt_act,
+    prune_act).
+    """
+    from ..models.conv6 import default_config
+
+    defaults = default_config().layers
     layer_specs: List[ConvLayerSpec] = []
     for li in range(1, 8):
         out_ch = 3 if li == 7 else channels
         n_slots = LAYER_SLOTS[li]
         acts = []
         for si in range(1, n_slots + 1):
-            prefix = f"layer{li}_act{si}"
-            if li in layers_to_search:
-                name = trial.suggest_categorical(prefix, list(activation_choices))
-                cfg = suggest_activation_params(trial, prefix, name, out_ch)
+            if si <= searched_slots.get(li, 0):
+                prefix = f"layer{li}_act{si}"
+                if activation_choices is not None:
+                    choices = activation_choices
+                elif si % 2 == 1:
+                    choices = saturating_choices
+                else:
+                    choices = rectifier_choices
+                name = trial.suggest_categorical(prefix, list(choices))
+                if param_policy == "opt_act" and si % 2 == 1:
+                    # the reference's conditional-param loop covers even
+                    # (rectifier) slots only (opt_act.py:152)
+                    cfg = {}
+                else:
+                    cfg = suggest_activation_params(
+                        trial, prefix, name, out_ch, policy=param_policy
+                    )
+                acts.append(act(name, **cfg))
             else:
-                name, cfg = "identity", {}
-            acts.append(act(name, **cfg))
+                acts.append(defaults[li - 1].acts[si - 1])
         ks = 3
         if li == 6 and search_layer6_kernel:
             ks = trial.suggest_int("layer6_kernel_size", 3, 7, step=2)
@@ -115,14 +182,21 @@ def measure_fps(
     params = conv6_mod.init(jax.random.key(0), cfg)
     fwd = jax.jit(lambda x: conv6_mod.apply(params, x, cfg))
     x = jnp.zeros((1, height, width, 3), jnp.dtype(compute_dtype))
-    res = measure_chained(fwd, x, warmup=3, duration_s=duration_s, chunk=10)
+    # chunk="auto" sizes chunks from a differenced latency probe so the
+    # per-chunk probe-fetch RTT (150-350 ms through the tunnel) stays <2%
+    # of chunk device time; a fixed chunk=10 at conv6's ~25 ms/call made
+    # recorded FPS RTT-bound (deflated up to ~2x, CLAUDE.md timing rule)
+    res = measure_chained(fwd, x, warmup=3, duration_s=duration_s, chunk="auto")
     return res.fps
 
 
 def make_objective(
     *,
-    activation_choices: Sequence[str],
-    layers_to_search: Sequence[int],
+    searched_slots: Dict[int, int],
+    activation_choices: Optional[Sequence[str]] = None,
+    saturating_choices: Optional[Sequence[str]] = None,
+    rectifier_choices: Optional[Sequence[str]] = None,
+    param_policy: str = "r2",
     search_layer6_kernel: bool = False,
     train_pairs=None,
     val_pairs=None,
@@ -136,8 +210,6 @@ def make_objective(
     fps_duration_s: float = 3.0,
 ):
     """Build the study objective: config -> FPS gate -> short train -> loss."""
-    import dataclasses
-
     import jax
     import jax.numpy as jnp
 
@@ -155,8 +227,11 @@ def make_objective(
     def objective(trial) -> float:
         cfg = suggest_conv6_config(
             trial,
+            searched_slots=searched_slots,
             activation_choices=activation_choices,
-            layers_to_search=layers_to_search,
+            saturating_choices=saturating_choices,
+            rectifier_choices=rectifier_choices,
+            param_policy=param_policy,
             search_layer6_kernel=search_layer6_kernel,
         )
         lr = trial.suggest_float("learning_rate", 1e-5, 1e-3, log=True)
@@ -164,7 +239,10 @@ def make_objective(
         if search_batch_size:
             bs = trial.suggest_categorical("batch_size", [16, 32])
 
-        arch_key = {"config": dataclasses.asdict(cfg)}
+        # config_to_json is the documented canonical NAS cache key
+        # (models/configs.py) — one serialization, no drift with ad-hoc
+        # asdict encodings
+        arch_key = config_to_json(cfg)
         fps = cache.get_or_measure(
             arch_key, lambda: measure_fps(cfg, duration_s=fps_duration_s)
         )
@@ -207,10 +285,15 @@ def make_objective(
                 seed=trial.number * 100 + epoch, transfer_dtype="uint8",
             )
             loss = None
-            for lr_b, hr_b in ds:
+            for step_i, (lr_b, hr_b) in enumerate(ds):
                 state, loss = step(
                     state, jnp.asarray(lr_b)[None], jnp.asarray(hr_b)[None]
                 )
+                # bound async runahead without fetching: a device-side sync
+                # every ~8 steps (the trainer's loss_sync_steps pattern)
+                # keeps in-flight batch transfers bounded through the tunnel
+                if (step_i & 7) == 7:
+                    jax.block_until_ready(loss)
             # NaN-abort check once per epoch, not per step: float(loss)
             # blocks async dispatch on a full tunnel RTT (~150-350 ms), and
             # a NaN reached mid-epoch persists in the loss value anyway
@@ -236,20 +319,30 @@ def make_objective(
 
 
 STUDY_PRESETS = {
-    # layers 1/2/4/6/7 searched, conditional sub-params (opt_act.py:122-165)
+    # layers 1/2/4/6/7, per-parity sets, even-slot conditional sub-params
+    # (opt_act.py:122-165)
     "opt_act": dict(
-        activation_choices=CORE_ACTIVATIONS, layers_to_search=(1, 2, 4, 6, 7)
+        searched_slots={1: 2, 2: 4, 4: 4, 6: 2, 7: 2},
+        saturating_choices=OPT_ACT_SATURATING,
+        rectifier_choices=OPT_ACT_RECTIFIERS,
+        param_policy="opt_act",
     ),
-    # all 7 layers, wider sets + batch size (prune_act.py:122-165)
+    # all 7 layers, wider saturating set, NO sub-params, batch size
+    # (prune_act.py:122-165)
     "prune_act": dict(
-        activation_choices=CORE_ACTIVATIONS,
-        layers_to_search=(1, 2, 3, 4, 5, 6, 7),
+        searched_slots={1: 2, 2: 4, 3: 2, 4: 4, 5: 2, 6: 2, 7: 2},
+        saturating_choices=PRUNE_ACT_SATURATING,
+        rectifier_choices=PRUNE_ACT_RECTIFIERS,
+        param_policy="none",
         search_batch_size=True,
     ),
-    # all 20 registry activations + layer6 kernel (prune_act_r2.py:102-159)
+    # all 20 registry activations for every searched slot, layer4 limited
+    # to 2 slots, layer7 NOT searched, layer6 kernel in {3,5,7}
+    # (prune_act_r2.py:102-159: suggests layer1..6, layer4_act1/act2 only)
     "prune_act_r2": dict(
+        searched_slots={1: 2, 2: 4, 3: 2, 4: 2, 5: 2, 6: 2},
         activation_choices=ALL_ACTIVATIONS,
-        layers_to_search=(1, 2, 3, 4, 5, 6, 7),
+        param_policy="r2",
         search_layer6_kernel=True,
     ),
 }

@@ -56,9 +56,15 @@ def _mish(x):
     return x * jnp.tanh(jax.nn.softplus(x))
 
 
-def _gelu(x):
-    # torch.nn.GELU default approximate='none' (exact erf form)
-    return jax.nn.gelu(x, approximate=False)
+def _gelu(x, approximate: str = "none"):
+    # torch.nn.GELU(approximate='none'|'tanh'); default is the exact erf
+    # form. The tanh variant is searched by the reference's prune_act_r2
+    # study (optuna_study_prune_act_r2.py:152-155).
+    if approximate not in ("none", "tanh"):
+        raise ValueError(
+            f"gelu approximate must be 'none' or 'tanh', got {approximate!r}"
+        )
+    return jax.nn.gelu(x, approximate=(approximate == "tanh"))
 
 
 def _telu(x):
@@ -84,13 +90,12 @@ _SIMPLE = {
     "silu": _silu,
     "swish": _silu,  # alias, mirrors reference registry
     "mish": _mish,
-    "gelu": _gelu,
     "telu": _telu,
     "scaled_tanh": _scaled_tanh,
 }
 
 # Configurable but parameter-free (config values are static python numbers)
-_CONFIGURED = {"elu", "leaky_relu", "softplus", "softmax", "log_softmax"}
+_CONFIGURED = {"elu", "gelu", "leaky_relu", "softplus", "softmax", "log_softmax"}
 
 # Learnable-parameter activations
 _LEARNABLE = {"prelu", "sinlu", "biased_relu", "biased_prelu"}
@@ -113,6 +118,7 @@ def _canonical(name: str) -> str:
 # with the default; activations.py:99-171)
 _ALLOWED_CONFIG: Dict[str, frozenset] = {
     "elu": frozenset({"alpha"}),
+    "gelu": frozenset({"approximate"}),
     "leaky_relu": frozenset({"negative_slope"}),
     "softplus": frozenset({"beta", "threshold"}),
     "softmax": frozenset({"axis"}),
@@ -207,6 +213,8 @@ def apply_activation(
     if n == "elu":
         alpha = float(config.get("alpha", 1.0))
         return jax.nn.elu(x, alpha=alpha)
+    if n == "gelu":
+        return _gelu(x, str(config.get("approximate", "none")))
     if n == "leaky_relu":
         slope = float(config.get("negative_slope", 0.01))
         return jax.nn.leaky_relu(x, negative_slope=slope)

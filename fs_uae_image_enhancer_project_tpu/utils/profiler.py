@@ -83,12 +83,14 @@ def measure_chained(
     *,
     warmup: int = 20,
     duration_s: float = 20.0,
-    chunk: int = 20,
+    chunk=20,
     max_iters: Optional[int] = None,
 ) -> BenchResult:
     """Sustained on-device throughput of ``fn`` whose output feeds its input
     (same shape/dtype). total_time / N is true per-call latency; chunked
-    fetches bound the async pipeline without paying a round trip per call."""
+    fetches bound the async pipeline without paying a round trip per call.
+    ``chunk="auto"`` sizes chunks from a differenced latency probe (the
+    probe RTT cancels) targeting ~2 s of device time per chunk."""
     # The chain never resets to ``x``: ``fn`` may donate its argument (the
     # deployed enhance fn aliases frame buffers), which deletes ``x`` after
     # the first call. Feeding each output forward is donation-safe and the
@@ -101,6 +103,25 @@ def measure_chained(
     for _ in range(max(warmup - 1, 0)):
         acc = fn(acc)
     _fetch_probe(acc)
+
+    if chunk == "auto":
+        # Size chunks from a differenced latency probe: two probe chunks of
+        # 5 and 25 calls each pay one probe-fetch RTT, so the RTT cancels
+        # in (t25 - t5)/20. Target ~2 s of device time per chunk so the
+        # per-chunk RTT adder (150-350 ms through the tunnel) stays under
+        # ~2% of the signal (CLAUDE.md timing rule) even for sub-ms fns.
+        t1 = time.perf_counter()
+        for _ in range(5):
+            acc = fn(acc)
+        _fetch_probe(acc)
+        t5 = time.perf_counter() - t1
+        t1 = time.perf_counter()
+        for _ in range(25):
+            acc = fn(acc)
+        _fetch_probe(acc)
+        t25 = time.perf_counter() - t1
+        est = max((t25 - t5) / 20.0, 1e-6)
+        chunk = int(min(max(round(2.0 / est), 10), 5000))
 
     lat = []
     iters = 0

@@ -49,7 +49,7 @@ def main() -> int:
 
     enable_persistent_cache()
 
-    import dataclasses
+
 
     from fs_uae_image_enhancer_project_tpu.data.dataset import (
         gather_all_samples_from_directory,
@@ -120,8 +120,9 @@ def main() -> int:
     preset = STUDY_PRESETS["prune_act_r2"]
     best_cfg = suggest_conv6_config(
         _Replay(bt.params),
+        searched_slots=preset["searched_slots"],
         activation_choices=preset["activation_choices"],
-        layers_to_search=preset["layers_to_search"],
+        param_policy=preset["param_policy"],
         search_layer6_kernel=preset["search_layer6_kernel"],
     )
     measured = {"count": 0}
@@ -130,9 +131,9 @@ def main() -> int:
         measured["count"] += 1
         return -1.0
 
-    hit_fps = cache.get_or_measure(
-        {"config": dataclasses.asdict(best_cfg)}, _sentinel
-    )
+    from fs_uae_image_enhancer_project_tpu.models.configs import config_to_json
+
+    hit_fps = cache.get_or_measure(config_to_json(best_cfg), _sentinel)
     cache_hit = measured["count"] == 0 and hit_fps > 0
     print(f"fps-cache replay of best arch: fps={hit_fps:.1f} "
           f"hit={cache_hit} (measure invoked {measured['count']}x)",

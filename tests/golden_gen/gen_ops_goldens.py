@@ -54,6 +54,9 @@ SIMPLE = {
 }
 for name, mod in SIMPLE.items():
     g[f"act_{name}"] = mod(tx).numpy()
+# gelu tanh approximation (searched by the reference's prune_act_r2,
+# optuna_study_prune_act_r2.py:152-155)
+g["act_gelu_tanh"] = tnn.GELU(approximate="tanh")(tx).numpy()
 # custom formula activations (reference activations.py:6-32)
 g["act_telu"] = (tx * torch.tanh(torch.exp(tx))).numpy()
 g["act_scaled_tanh"] = ((torch.tanh(tx) + 1.0) * 0.5).numpy()

@@ -151,6 +151,12 @@ def main():
     rng = np.random.default_rng(7)
     o = rng.uniform(0.01, 0.99, (1, 3, 32, 32)).astype(np.float32)
     t = rng.uniform(0.01, 0.99, (1, 3, 32, 32)).astype(np.float32)
+    # exact-black target region: pins the reference's no-clamp target path
+    # (loss_vgg.py:173 — pow(0) must stay 0; an eps clamp would shift black
+    # by (1e-6)**(1/2.2) ~= 1.9e-3 pre-normalization). The OUTPUT keeps no
+    # zeros: our implementation deliberately eps-clamps the differentiated
+    # side (losses/perceptual.py), a documented divergence.
+    t[0, :, :8, :8] = 0.0
     g = {"input_o": o, "input_t": t}
 
     with torch.no_grad():

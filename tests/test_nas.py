@@ -129,14 +129,22 @@ def test_suggest_conv6_config_presets(tmp_path):
     preset = STUDY_PRESETS["prune_act_r2"]
     cfg = suggest_conv6_config(
         t,
+        searched_slots=preset["searched_slots"],
         activation_choices=preset["activation_choices"],
-        layers_to_search=preset["layers_to_search"],
+        param_policy=preset["param_policy"],
         search_layer6_kernel=preset["search_layer6_kernel"],
     )
     assert len(cfg.layers) == 7
     assert cfg.layers[6].out_channels == 3
     assert cfg.layers[5].kernel_size in (3, 5, 7)
     assert "layer1_act1" in t.params
+    # r2 searches layer1..6 with layer4 limited to 2 slots and layer7
+    # untouched (optuna_study_prune_act_r2.py:162-206): unsearched slots
+    # keep the conv6 Model defaults, not identity
+    assert "layer4_act3" not in t.params and "layer7_act1" not in t.params
+    from fs_uae_image_enhancer_project_tpu.models.conv6 import default_config
+    assert cfg.layers[6].acts == default_config().layers[6].acts
+    assert cfg.layers[3].acts[2:] == default_config().layers[3].acts[2:]
 
 
 def test_nas_objective_short_train(tmp_path):
@@ -159,8 +167,8 @@ def test_nas_objective_short_train(tmp_path):
 
     pairs = gather_all_samples_from_directory(str(tmp_path / "train"), (16, 16), verbose=0)
     objective = make_objective(
+        searched_slots={1: 2},
         activation_choices=["relu", "identity"],
-        layers_to_search=(1,),
         train_pairs=pairs,
         val_pairs=pairs,
         crop_size=(16, 16),
@@ -249,3 +257,88 @@ def test_study_all_failed_exits_nonzero(tmp_path, monkeypatch):
         "--storage", str(tmp_path / "s.sqlite"),
     ])
     assert rc == 1
+
+
+def test_snap_to_lattice():
+    """Step suggestions stay on the {low + k*step} lattice even when the
+    span is not a step multiple (low=0 high=5 step=3 must yield {0,3},
+    never a high-clamped 5 — Optuna semantics)."""
+    from fs_uae_image_enhancer_project_tpu.nas.search import _snap_to_lattice
+
+    assert _snap_to_lattice(4.9, 0, 5, 3) == 3
+    assert _snap_to_lattice(-2.0, 0, 5, 3) == 0
+    assert _snap_to_lattice(1.4, 0, 5, 3) == 0
+    assert _snap_to_lattice(1.6, 0, 5, 3) == 3
+    assert _snap_to_lattice(7.0, 3, 7, 2) == 7  # exact-multiple span intact
+
+
+def test_median_pruner_uses_completed_trials_only():
+    """PRUNED trials' intermediates must not enter the median (they would
+    self-weaken the pruner), and must not count toward n_startup_trials
+    (Optuna MedianPruner semantics: COMPLETE only)."""
+    from fs_uae_image_enhancer_project_tpu.nas.search import (
+        COMPLETE,
+        PRUNED,
+        FrozenTrial,
+        MedianPruner,
+    )
+
+    class _T:
+        _intermediate = {0: 5.0}
+
+    pruner = MedianPruner(n_startup_trials=2)
+    hist = [
+        FrozenTrial(0, COMPLETE, 1.0, {}, {0: 1.0}),
+        FrozenTrial(1, COMPLETE, 3.0, {}, {0: 3.0}),
+        FrozenTrial(2, PRUNED, None, {}, {0: 100.0}),
+        FrozenTrial(3, PRUNED, None, {}, {0: 100.0}),
+        FrozenTrial(4, PRUNED, None, {}, {0: 100.0}),
+    ]
+    # COMPLETE-only median is 3.0 -> 5.0 prunes; folding the PRUNED 100s in
+    # would give median 100 -> never prune
+    assert pruner.should_prune(_T(), hist) is True
+    # startup counts COMPLETE trials only: 1 COMPLETE + 5 PRUNED < 2
+    hist2 = [FrozenTrial(0, COMPLETE, 1.0, {}, {0: 1.0})] + [
+        FrozenTrial(i, PRUNED, None, {}, {}) for i in range(1, 6)
+    ]
+    assert pruner.should_prune(_T(), hist2) is False
+
+
+def test_opt_act_preset_matches_reference_search_space(tmp_path):
+    """opt_act searches layers 1/2/4/6/7 with per-parity choice sets
+    (optuna_study_opt_act.py:122-150): odd slots saturating, even slots
+    rectifiers; layers 3/5 keep the conv6 Model defaults."""
+    from fs_uae_image_enhancer_project_tpu.models.conv6 import default_config
+    from fs_uae_image_enhancer_project_tpu.nas.search import Trial
+    from fs_uae_image_enhancer_project_tpu.nas.studies import (
+        OPT_ACT_RECTIFIERS,
+        OPT_ACT_SATURATING,
+        STUDY_PRESETS,
+        suggest_conv6_config,
+    )
+
+    study = create_study("optact", str(tmp_path / "o.sqlite"),
+                         sampler=RandomSampler(seed=3))
+    preset = dict(STUDY_PRESETS["opt_act"])
+    for trial_no in range(8):
+        t = Trial(study, trial_no)
+        cfg = suggest_conv6_config(t, **preset)
+        searched = {
+            f"layer{li}_act{si}"
+            for li, n in {1: 2, 2: 4, 4: 4, 6: 2, 7: 2}.items()
+            for si in range(1, n + 1)
+        }
+        assert searched <= set(t.params)
+        extras = set(t.params) - searched
+        assert all(
+            k.endswith(("_negative_slope", "_num_parameters_choice"))
+            for k in extras
+        ), extras
+        for name in searched:
+            si = int(name[-1])
+            pool = OPT_ACT_SATURATING if si % 2 else OPT_ACT_RECTIFIERS
+            assert t.params[name] in pool, (name, t.params[name])
+        # layers 3/5 keep Model defaults (reference passes no kwargs)
+        d = default_config().layers
+        assert cfg.layers[2].acts == d[2].acts
+        assert cfg.layers[4].acts == d[4].acts
