@@ -128,15 +128,30 @@ def main(argv=None) -> int:
         rows.append(run_row(base, params_l,
                             "trained here: pix_shuffle long-120"))
 
-    # 3. this framework's pix_shuffle_heavy (larger TPU-friendly variant)
+    # 3. this framework's pix_shuffle_heavy (larger TPU-friendly variant).
+    # The raw orbax checkpoint lives under ephemeral /root/work; when the VM
+    # has been recycled the committed ONNX artifact (emitted from that same
+    # checkpoint, fp32 primary graph) is the surviving weight record —
+    # import it back through the round-trip importer.
     heavy = get_model("pix_shuffle", "heavy")
     ck_h = TRAINED_CKPTS["pix_shuffle_heavy"]
+    onnx_h = os.path.join(repo, "artifacts", "model_pix_shuffle_heavy",
+                          "pix_shuffle_heavy.onnx")
     if os.path.isdir(ck_h):
         params_h = load_params(ck_h, heavy.init(jax.random.key(0)))
         rows.append(run_row(heavy, params_h,
                             "trained here: pix_shuffle_heavy"))
+    elif os.path.exists(onnx_h):
+        from fs_uae_image_enhancer_project_tpu.export.onnx_import import (
+            import_any,
+        )
+
+        params_h = import_any(onnx_h).params
+        rows.append(run_row(heavy, params_h,
+                            "trained here: pix_shuffle_heavy "
+                            "(reimported from committed ONNX)"))
     else:
-        print(f"skip heavy row ({ck_h} absent)", flush=True)
+        print(f"skip heavy row ({ck_h} and {onnx_h} absent)", flush=True)
 
     report = {
         "date": time.strftime("%Y-%m-%d"),

@@ -162,6 +162,35 @@ def make_scene(seed: int, w: int, h: int) -> np.ndarray:
     return (np.clip(img, 0, 1) * 255).astype(np.uint8)
 
 
+# Reference sample frames (the reference's own evidence bar: 8 full frames
+# under model/samples/ — README.md:21-27) join the corpus so parity targets
+# and training statistics share a distribution.
+REF_SAMPLES = "/root/reference/model/samples"
+
+# 8 deterministic flat fills (flat00..flat07): the RGB cube corners, index
+# bits = (R,G,B). Flat regions are the degenerate case the palette/dither
+# pipeline must keep exactly (a 1-colour palette); black and white bound the
+# gamma curve. bench_generator_e2e / train_vgg_features filter on the
+# flat??.png spelling.
+FLAT_CORNERS = [(255 * (i >> 2 & 1), 255 * (i >> 1 & 1), 255 * (i & 1))
+                for i in range(8)]
+
+# Deterministic 32/8 split (round-4 corpus layout, CLAUDE.md "Local
+# assets"): the test split holds back the LAST four scenes, the last two
+# reference samples and the last two flats so every frame family is
+# represented on both sides.
+TEST_FRAMES = ("scene_020", "scene_021", "scene_022", "scene_023",
+               "sample6", "sample7", "flat06", "flat07")
+
+
+def _write(path: str, make) -> None:
+    if os.path.exists(path):
+        print(f"keep  {path}")
+        return
+    make(path)
+    print(f"wrote {path}")
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/root/work/gt_frames")
@@ -169,17 +198,51 @@ def main() -> int:
     ap.add_argument("--seed", type=int, default=7)
     ap.add_argument("--width", type=int, default=1504)  # 2x Amiga 752x576
     ap.add_argument("--height", type=int, default=1152)
+    ap.add_argument("--split", action="store_true",
+                    help="also write <out>/train and <out>/test symlink "
+                         "trees (32/8, TEST_FRAMES held out)")
     args = ap.parse_args()
 
     os.makedirs(args.out, exist_ok=True)
     for i in range(args.scenes):
-        path = os.path.join(args.out, f"scene_{i:03d}.png")
-        if os.path.exists(path):
-            print(f"keep  {path}")
-            continue
-        arr = make_scene(args.seed * 1000 + i, args.width, args.height)
-        Image.fromarray(arr).save(path)
-        print(f"wrote {path}")
+        def mk(path, i=i):
+            arr = make_scene(args.seed * 1000 + i, args.width, args.height)
+            Image.fromarray(arr).save(path)
+
+        _write(os.path.join(args.out, f"scene_{i:03d}.png"), mk)
+
+    # reference samples (skip silently if the reference tree is absent)
+    if os.path.isdir(REF_SAMPLES):
+        import shutil
+
+        for name in sorted(os.listdir(REF_SAMPLES)):
+            if not (name.startswith("sample") and name.endswith(".png")):
+                continue
+            _write(os.path.join(args.out, name),
+                   lambda p, s=os.path.join(REF_SAMPLES, name):
+                   shutil.copyfile(s, p))
+    else:
+        print(f"NOTE: {REF_SAMPLES} absent; corpus has no sample*.png")
+
+    for i, rgb in enumerate(FLAT_CORNERS):
+        _write(os.path.join(args.out, f"flat{i:02d}.png"),
+               lambda p, rgb=rgb: Image.new(
+                   "RGB", (args.width, args.height), rgb).save(p))
+
+    if args.split:
+        frames = sorted(f for f in os.listdir(args.out)
+                        if f.endswith(".png"))
+        for split in ("train", "test"):
+            os.makedirs(os.path.join(args.out, split), exist_ok=True)
+        n = {"train": 0, "test": 0}
+        for f in frames:
+            split = ("test" if os.path.splitext(f)[0] in TEST_FRAMES
+                     else "train")
+            dst = os.path.join(args.out, split, f)
+            if not os.path.lexists(dst):
+                os.symlink(os.path.join("..", f), dst)
+            n[split] += 1
+        print(f"split: {n['train']} train / {n['test']} test")
     return 0
 
 
