@@ -126,7 +126,8 @@ def main(argv=None) -> int:
     if os.path.isdir(ck_l):
         params_l = load_params(ck_l, base.init(jax.random.key(0)))
         rows.append(run_row(base, params_l,
-                            "trained here: pix_shuffle long-120"))
+                            "trained here: pix_shuffle fresh run on THIS "
+                            "corpus (train_psh_long)"))
 
     # 3. this framework's pix_shuffle_heavy (larger TPU-friendly variant).
     # The raw orbax checkpoint lives under ephemeral /root/work; when the VM
@@ -163,11 +164,21 @@ def main(argv=None) -> int:
                      "10% pool, SRDataset(seed=1, flips=False) deterministic "
                      "draws, vgg-free pixel criterion, sRGB PSNR"),
         "caveats": [
-            "shipped weights never saw this corpus; trained rows saw its "
-            "other 90% — this measures in-domain retraining value",
-            "the held-out pool doubled as the trained rows' early-stopping "
-            "validation set (selection only, never trained on)",
+            "trained rows were trained on the superseded round-2 corpus "
+            "(lost to a VM recycle); NO row — shipped or trained — ever saw "
+            "a pair of this regenerated corpus, so the eval is zero-leak "
+            "for every row",
+            "the regenerated corpus shares the synthesis distribution with "
+            "the round-2 training corpus (scripts/make_gt_frames.py scene "
+            "families + the 8 reference samples), so trained rows keep a "
+            "distribution advantage over the reference's shipped weights "
+            "(trained on its own unpublished captures) — this measures "
+            "same-distribution retraining value, not weight quality on the "
+            "reference's distribution",
         ],
+        "corpus_generation": "r4-rebuild (scripts/make_gt_frames.py --split; "
+                             "numbers are NOT comparable to evals on the "
+                             "round-2 corpus)",
         "rows": rows,
     }
     out = os.path.abspath(args.out)  # bare filenames: dirname('') fails
