@@ -7,4 +7,4 @@ from .functional import (  # noqa: F401
     rgb_to_ycbcr,
 )
 from .perceptual import PerceptualConfig, build_criterion, make_perceptual_loss  # noqa: F401
-from .ssim import ssim, ssim_loss  # noqa: F401
+from .ssim import ms_ssim, ssim, ssim_loss  # noqa: F401

@@ -29,7 +29,7 @@ def _gaussian_kernel(size: int = 11, sigma: float = 1.5) -> jnp.ndarray:
     return jnp.asarray(np.outer(g, g), jnp.float32)
 
 
-def ssim(
+def _ssim_and_cs(
     a: jnp.ndarray,
     b: jnp.ndarray,
     *,
@@ -38,8 +38,9 @@ def ssim(
     sigma: float = 1.5,
     k1: float = 0.01,
     k2: float = 0.03,
-) -> jnp.ndarray:
-    """Mean SSIM over NHWC batches (VALID windows, per torch pytorch_msssim)."""
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Mean SSIM and contrast-structure (cs) terms over NHWC batches
+    (VALID Gaussian windows, matching pytorch_msssim's _ssim)."""
     kern = _gaussian_kernel(window_size, sigma).astype(a.dtype)
     c = a.shape[-1]
     w = jnp.broadcast_to(
@@ -61,9 +62,85 @@ def ssim(
     sigma_aa = filt(a * a) - mu_aa
     sigma_bb = filt(b * b) - mu_bb
     sigma_ab = filt(a * b) - mu_ab
-    num = (2 * mu_ab + c1) * (2 * sigma_ab + c2)
-    den = (mu_aa + mu_bb + c1) * (sigma_aa + sigma_bb + c2)
-    return jnp.mean(num / den)
+    cs_map = (2 * sigma_ab + c2) / (sigma_aa + sigma_bb + c2)
+    ssim_map = cs_map * (2 * mu_ab + c1) / (mu_aa + mu_bb + c1)
+    return jnp.mean(ssim_map), jnp.mean(cs_map)
+
+
+def ssim(
+    a: jnp.ndarray,
+    b: jnp.ndarray,
+    *,
+    data_range: float = 1.0,
+    window_size: int = 11,
+    sigma: float = 1.5,
+    k1: float = 0.01,
+    k2: float = 0.03,
+) -> jnp.ndarray:
+    """Mean SSIM over NHWC batches (VALID windows, per torch pytorch_msssim)."""
+    s, _ = _ssim_and_cs(
+        a, b, data_range=data_range, window_size=window_size, sigma=sigma,
+        k1=k1, k2=k2,
+    )
+    return s
+
+
+# Wang et al. 2003 (multi-scale SSIM) per-scale exponents — the same
+# constants pytorch_msssim and the reference's optional pytorch_msssim
+# dependency use (optuna_study_prune_act_r2.py:18-24 reaches for SSIM as
+# its second metric; MS-SSIM is the perceptual-metric column VERDICT r4
+# item 4 asks the eval harnesses to carry).
+MS_SSIM_WEIGHTS = (0.0448, 0.2856, 0.3001, 0.2363, 0.1333)
+
+
+def ms_ssim(
+    a: jnp.ndarray,
+    b: jnp.ndarray,
+    *,
+    data_range: float = 1.0,
+    window_size: int = 11,
+    sigma: float = 1.5,
+    k1: float = 0.01,
+    k2: float = 0.03,
+    weights: tuple[float, ...] = MS_SSIM_WEIGHTS,
+) -> jnp.ndarray:
+    """Multi-scale SSIM over NHWC batches (Wang et al. 2003).
+
+    Follows pytorch_msssim's ms_ssim: at each of the first len(weights)-1
+    scales take the contrast-structure term, 2x2-average-pool (floor,
+    trailing odd row/col dropped), and at the last scale take full SSIM;
+    the result is prod(relu(term_i) ** weight_i). Inputs must satisfy
+    min(H, W) > (window_size - 1) * 2 ** (len(weights) - 1) so the last
+    scale still has a VALID window.
+    """
+    min_side = min(a.shape[1], a.shape[2])
+    need = (window_size - 1) * 2 ** (len(weights) - 1) + 1
+    if min_side < need:
+        raise ValueError(
+            f"ms_ssim needs min(H,W) >= {need} for window_size="
+            f"{window_size} and {len(weights)} scales; got {min_side}"
+        )
+    terms = []
+    for i in range(len(weights)):
+        s, cs = _ssim_and_cs(
+            a, b, data_range=data_range, window_size=window_size,
+            sigma=sigma, k1=k1, k2=k2,
+        )
+        terms.append(s if i == len(weights) - 1 else cs)
+        if i < len(weights) - 1:
+            # floor 2x2 average pool (pytorch_msssim: F.avg_pool2d(x, 2))
+            h = (a.shape[1] // 2) * 2
+            w_ = (a.shape[2] // 2) * 2
+            a = a[:, :h, :w_, :].reshape(
+                a.shape[0], h // 2, 2, w_ // 2, 2, a.shape[3]
+            ).mean(axis=(2, 4))
+            b = b[:, :h, :w_, :].reshape(
+                b.shape[0], h // 2, 2, w_ // 2, 2, b.shape[3]
+            ).mean(axis=(2, 4))
+    out = jnp.ones((), a.dtype)
+    for wgt, t in zip(weights, terms):
+        out = out * jnp.maximum(t, 0.0) ** wgt
+    return out
 
 
 def ssim_loss(

@@ -53,6 +53,7 @@ import socket
 import struct
 import sys
 import threading
+import time
 from typing import Callable, Optional
 
 import numpy as np
@@ -90,6 +91,7 @@ class SidecarServer:
         depth: int = 2,
         max_clients: int = 4,
         verbose: int = 1,
+        stats_path: Optional[str] = None,
     ):
         if not 0 <= depth <= 255:
             # handshake encodes depth as one byte; validating here fails
@@ -111,6 +113,14 @@ class SidecarServer:
         self._shutdown = threading.Event()
         self._conns_lock = threading.Lock()
         self._conns: set = set()
+        # Server-side per-frame latency (enqueue -> enhanced bytes ready,
+        # EXCLUDING socket RTT): the number a local deployment actually
+        # gets — the reference quantifies exactly this seam (its README's
+        # upload-<1ms / readback-bottleneck discussion); measuring only
+        # through the tunnel hides it behind 150-350 ms RTT.
+        self.stats_path = stats_path
+        self._lat_lock = threading.Lock()
+        self._latencies_ms: list = []
 
     def _log(self, msg: str) -> None:
         if self.verbose:
@@ -231,6 +241,7 @@ class SidecarServer:
             self._request_shutdown()
             for t in threads:
                 t.join(timeout=60)
+            self._write_stats()
             self._sock = None
             try:
                 st = os.stat(self.socket_path)
@@ -268,6 +279,12 @@ class SidecarServer:
 
         stream = FrameStream(self.fn, depth=max(self.depth, 1))
         n_in = n_out = 0
+        # FIFO of enqueue timestamps: FrameStream returns outputs in submit
+        # order, so the output surfacing now belongs to the OLDEST pending
+        # frame. Latency = enqueue -> enhanced bytes in host memory; the
+        # socket sendall that follows is deliberately outside the window.
+        pending_t0: list = []
+        lat_ms: list = []
         while True:
             op = _recv_exact(conn, 1)
             if op is None:
@@ -280,28 +297,90 @@ class SidecarServer:
                     1, self.h, self.w, 4
                 )
                 n_in += 1
+                t0 = time.perf_counter()
+                pending_t0.append(t0)
                 if self.depth == 0:
                     out = np.asarray(self.fn(jnp.asarray(frame)))
+                    lat_ms.append(
+                        (time.perf_counter() - pending_t0.pop(0)) * 1e3)
                     conn.sendall(bytes([RE_FRAME]) + out.tobytes())
                     n_out += 1
                 else:
                     out = stream.submit(frame)
                     if out is not None:
+                        lat_ms.append(
+                            (time.perf_counter() - pending_t0.pop(0)) * 1e3)
                         conn.sendall(bytes([RE_FRAME]) + out.tobytes())
                         n_out += 1
             elif op[0] == OP_DRAIN:
                 for out in stream.drain():
+                    if pending_t0:
+                        lat_ms.append(
+                            (time.perf_counter() - pending_t0.pop(0)) * 1e3)
                     conn.sendall(bytes([RE_FRAME]) + out.tobytes())
                     n_out += 1
                 conn.sendall(bytes([RE_DRAIN_DONE]))
             elif op[0] == OP_SHUTDOWN:
                 self._log(f"shutdown requested ({n_in} in / {n_out} out)")
+                self._record_latencies(lat_ms)
                 return False
             else:
                 self._log(f"bad opcode 0x{op[0]:02x}; closing client")
                 break
         self._log(f"client disconnected ({n_in} in / {n_out} out)")
+        self._record_latencies(lat_ms)
         return True
+
+    def _record_latencies(self, lat_ms: list) -> None:
+        if lat_ms:
+            with self._lat_lock:
+                self._latencies_ms.extend(lat_ms)
+
+    def latency_stats(self) -> Optional[dict]:
+        """Percentile summary of server-side per-frame latency so far."""
+        with self._lat_lock:
+            lats = sorted(self._latencies_ms)
+        if not lats:
+            return None
+
+        def pct(p):
+            return round(lats[min(int(p / 100 * len(lats)), len(lats) - 1)], 3)
+
+        return {
+            "frames": len(lats),
+            "depth": self.depth,
+            "p50_ms": pct(50), "p90_ms": pct(90), "p99_ms": pct(99),
+            "min_ms": round(lats[0], 3), "max_ms": round(lats[-1], 3),
+            "mean_ms": round(sum(lats) / len(lats), 3),
+            "definition": ("server-side enqueue->enhanced-bytes-in-host-"
+                           "memory per frame, EXCLUDING socket RTT; "
+                           "pipelined depths include queueing behind "
+                           "in-flight frames"),
+        }
+
+    def _write_stats(self) -> None:
+        if not self.stats_path:
+            return
+        stats = self.latency_stats()
+        if stats is None:
+            return
+        import json
+
+        with self._lat_lock:
+            lats = list(self._latencies_ms)
+        # committed artifacts carry a histogram, not a raw dump (bounded size)
+        edges = [0.5 * (2 ** (i / 2)) for i in range(24)]  # 0.5ms..~1.4s log2
+        counts = [0] * (len(edges) + 1)
+        for v in lats:
+            counts[next((i for i, e in enumerate(edges) if v < e),
+                        len(edges))] += 1
+        stats["histogram"] = {
+            "edges_ms": [round(e, 3) for e in edges],
+            "counts": counts,
+        }
+        with open(self.stats_path, "w") as f:
+            json.dump(stats, f, indent=1)
+        self._log(f"wrote latency stats to {self.stats_path}")
 
 
 class SidecarClient:
@@ -431,6 +510,10 @@ def main(argv=None) -> int:
     ap.add_argument("--height", type=int, default=576)
     ap.add_argument("--width", type=int, default=752)
     ap.add_argument("--quiet", action="store_true")
+    ap.add_argument("--stats", default=None, metavar="PATH",
+                    help="write a server-side per-frame latency summary + "
+                         "histogram JSON here on exit (latency excludes "
+                         "socket RTT)")
     args = ap.parse_args(argv)
 
     from ..utils.platform import honor_jax_platforms_env
@@ -443,7 +526,7 @@ def main(argv=None) -> int:
     server = SidecarServer(
         fn, args.socket, height=args.height, width=args.width,
         depth=args.depth, max_clients=args.max_clients,
-        verbose=0 if args.quiet else 1,
+        verbose=0 if args.quiet else 1, stats_path=args.stats,
     )
     server.warmup()
     server.bind()

@@ -43,7 +43,12 @@ def vggfree_eval(model, params, val_iter, sync_every: int = 8):
     transfer (per-batch float() costs a tunnel RTT per batch — see
     trainer.py loss_sync_steps); ``sync_every`` bounds dispatch runahead.
 
-    Returns {"loss": float, "srgb_psnr_db": float, "batches": int}.
+    Alongside pixel loss + sRGB PSNR, reports sRGB-domain MS-SSIM when the
+    crop geometry permits 5 scales (the perceptual column: PSNR alone is
+    known-insufficient here — a row can win pixel loss while losing PSNR).
+
+    Returns {"loss": float, "srgb_psnr_db": float,
+             "ms_ssim_srgb": float | None, "batches": int}.
     """
     import dataclasses
 
@@ -55,6 +60,7 @@ def vggfree_eval(model, params, val_iter, sync_every: int = 8):
     from fs_uae_image_enhancer_project_tpu.losses.perceptual import (
         build_criterion,
     )
+    from fs_uae_image_enhancer_project_tpu.losses.ssim import ms_ssim
 
     criterion = build_criterion(
         dataclasses.replace(model.loss, vgg_weight=0.0)
@@ -69,23 +75,31 @@ def vggfree_eval(model, params, val_iter, sync_every: int = 8):
         # PSNR in the sRGB domain (linear io -> gamma for display)
         ys = jnp.clip(y, 0, None) ** (1 / 2.2)
         ts = jnp.clip(hr_b, 0, None) ** (1 / 2.2)
-        return loss, jnp.mean((ys - ts) ** 2)
+        try:
+            ms = ms_ssim(jnp.clip(ys, 0.0, 1.0), jnp.clip(ts, 0.0, 1.0))
+        except ValueError:  # crop too small for 5 scales (tiny test crops)
+            ms = jnp.full((), jnp.nan, jnp.float32)
+        return loss, jnp.mean((ys - ts) ** 2), ms
 
-    losses, mses = [], []
+    losses, mses, msssims = [], [], []
     for i, (lr_b, hr_b) in enumerate(val_iter):
-        l, e = eval_step(params, jnp.asarray(lr_b), jnp.asarray(hr_b))
+        l, e, m = eval_step(params, jnp.asarray(lr_b), jnp.asarray(hr_b))
         losses.append(l)
         mses.append(e)
+        msssims.append(m)
         if (i + 1) % max(sync_every, 1) == 0:
             e.block_until_ready()
     if not losses:
         return {"loss": float("nan"), "srgb_psnr_db": float("nan"),
-                "batches": 0}
+                "ms_ssim_srgb": None, "batches": 0}
     losses = np.asarray(jnp.stack(losses), np.float32)
     mses = np.asarray(jnp.stack(mses), np.float32)
+    msssims = np.asarray(jnp.stack(msssims), np.float32)
     mse = float(np.mean(mses))
+    ms_mean = float(np.mean(msssims))
     return {
         "loss": float(np.mean(losses)),
         "srgb_psnr_db": float(10 * np.log10(1.0 / mse)) if mse > 0 else 99.0,
+        "ms_ssim_srgb": None if np.isnan(ms_mean) else ms_mean,
         "batches": int(len(mses)),
     }

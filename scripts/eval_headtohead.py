@@ -12,13 +12,16 @@ study's val pipeline (same gather, same split_pairs(seed=0) 10% held-out
 pool, same deterministic SRDataset draws, same sRGB-PSNR metric) — in one
 process on the TPU.
 
-Fairness caveats (also recorded in the output JSON):
-- the shipped weights never saw this corpus; the trained rows saw its other
-  90%. This measures IN-DOMAIN RETRAINING VALUE (what a user gets by
-  retraining on their corpus with this framework), not weight quality on
-  the reference's own distribution.
-- the held-out pool was the trained rows' early-stopping validation set
-  (selection-only; none of its pairs were trained on).
+Fairness caveats are PER-ROW and recorded in the output JSON (the JSON is
+authoritative; advisor r4 flagged a blanket zero-leak claim that was false
+for the fresh-run row). In brief: the reference's shipped weights never saw
+any version of this corpus; rows trained THIS session on this corpus saw
+its other 90% and early-stopped on the same 10% pool this eval scores
+(selection-only — no pair was trained on); rows trained on the superseded
+round-2 corpus never saw these exact regenerated pairs, but the corpus is
+re-synthesized from overlapping seeded scenes + the same 8 reference
+frames, so pair-level overlap with round-2 training pairs is unknown.
+Every trained row keeps a distribution advantage over the shipped weights.
 
 Usage:
     python scripts/eval_headtohead.py --data /root/work/dataset_lores/train \
@@ -52,7 +55,10 @@ def main(argv=None) -> int:
     # with an absolute script path from elsewhere
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "artifacts", "headtohead_r4.json"))
+        "artifacts", "headtohead_r5.json"))
+    ap.add_argument("--corpus_tag", default="r4-rebuild",
+                    help="provenance tag for the corpus under --data "
+                         "(numbers are NOT comparable across corpora)")
     args = ap.parse_args(argv)
 
     from fs_uae_image_enhancer_project_tpu.utils.compile_cache import (
@@ -82,10 +88,32 @@ def main(argv=None) -> int:
 
     from common import vggfree_eval  # the ONE cross-run scoring protocol
 
-    def run_row(model, params, label):
+    # Per-row fairness caveats (advisor r4: the old blanket zero-leak claim
+    # was FALSE for any fresh-run row — train_psh_long trains on this
+    # corpus's other 90% and early-stops on the exact pool scored here).
+    CAVEAT_SHIPPED = (
+        "zero-leak: the reference's shipped weights never saw any version "
+        "of this corpus (trained on its own unpublished captures); this "
+        "row carries a distribution DISadvantage vs every trained row"
+    )
+    CAVEAT_R2_TRAINED = (
+        "trained on the superseded round-2 corpus (lost to a VM recycle); "
+        "never saw these exact regenerated pairs, but the corpus is "
+        "re-synthesized from overlapping seeded scenes + the same 8 "
+        "reference frames, so pair-level overlap with its round-2 training "
+        "pairs is unknown (make_gt_frames.py is deterministic)"
+    )
+    CAVEAT_FRESH = (
+        "trained THIS session on this corpus's other 90% "
+        "(split_pairs(seed=0)); the held-out pool scored here was its "
+        "early-stopping selection set (selection-only; no pair trained on)"
+    )
+
+    def run_row(model, params, label, caveat):
         """Same eval as training_parity_study: both call common.vggfree_eval
         (deterministic val draws seed=1, flips off, vgg-free criterion,
-        sRGB PSNR) — shared by construction, not by hand-synchronization."""
+        sRGB PSNR + sRGB MS-SSIM) — shared by construction, not by
+        hand-synchronization."""
         va = SRDataset(val_pool, crop, args.num_samples,
                        batch_size=args.batch_size, flips=False, seed=1,
                        transfer_dtype="uint8")
@@ -95,8 +123,10 @@ def main(argv=None) -> int:
             "label": label,
             "pixel_loss_vggfree": r["loss"],
             "srgb_psnr_db": r["srgb_psnr_db"],
+            "ms_ssim_srgb": r["ms_ssim_srgb"],
             "batches": r["batches"],
             "eval_s": round(time.perf_counter() - t0, 1),
+            "caveat": caveat,
         }
         print(json.dumps(row), flush=True)
         return row
@@ -107,7 +137,8 @@ def main(argv=None) -> int:
     imported = import_pix_shuffle(REF_ONNX)
     base = get_model("pix_shuffle")
     rows.append(run_row(base, imported.params,
-                        "reference shipped pix_shuffle.onnx"))
+                        "reference shipped pix_shuffle.onnx",
+                        CAVEAT_SHIPPED))
 
     # 2. this framework's 50-epoch plateau checkpoint (same topology)
     # anchored to the repo root so the script works from any cwd (the
@@ -117,9 +148,13 @@ def main(argv=None) -> int:
                       "checkpoint_best_pix_shuffle")
     params = load_params(ck, base.init(jax.random.key(0)))
     rows.append(run_row(base, params,
-                        "trained here: pix_shuffle plateau-50"))
+                        "trained here: pix_shuffle plateau-50",
+                        CAVEAT_R2_TRAINED))
 
-    # 2b. the long fresh run (scripts/train_psh_long.py), when present
+    # 2b. the long fresh run (scripts/train_psh_long.py), when present.
+    # /root/work is ephemeral, so any checkpoint at this path is
+    # necessarily a fresh run on the CURRENT corpus — the fresh-run
+    # caveat applies unconditionally (advisor r4 high finding).
     from common import TRAINED_CKPTS  # single source for local checkpoints
 
     ck_l = TRAINED_CKPTS["pix_shuffle_long"]
@@ -127,7 +162,7 @@ def main(argv=None) -> int:
         params_l = load_params(ck_l, base.init(jax.random.key(0)))
         rows.append(run_row(base, params_l,
                             "trained here: pix_shuffle fresh run on THIS "
-                            "corpus (train_psh_long)"))
+                            "corpus (train_psh_long)", CAVEAT_FRESH))
 
     # 3. this framework's pix_shuffle_heavy (larger TPU-friendly variant).
     # The raw orbax checkpoint lives under ephemeral /root/work; when the VM
@@ -139,9 +174,12 @@ def main(argv=None) -> int:
     onnx_h = os.path.join(repo, "artifacts", "model_pix_shuffle_heavy",
                           "pix_shuffle_heavy.onnx")
     if os.path.isdir(ck_h):
+        # ephemeral /root/work => a checkpoint here is a fresh run on the
+        # current corpus
         params_h = load_params(ck_h, heavy.init(jax.random.key(0)))
         rows.append(run_row(heavy, params_h,
-                            "trained here: pix_shuffle_heavy"))
+                            "trained here: pix_shuffle_heavy (fresh run on "
+                            "THIS corpus)", CAVEAT_FRESH))
     elif os.path.exists(onnx_h):
         from fs_uae_image_enhancer_project_tpu.export.onnx_import import (
             import_any,
@@ -150,9 +188,19 @@ def main(argv=None) -> int:
         params_h = import_any(onnx_h).params
         rows.append(run_row(heavy, params_h,
                             "trained here: pix_shuffle_heavy "
-                            "(reimported from committed ONNX)"))
+                            "(reimported from committed ONNX)",
+                            CAVEAT_R2_TRAINED))
     else:
         print(f"skip heavy row ({ck_h} and {onnx_h} absent)", flush=True)
+
+    # Corpus fingerprint: pairs are filename-addressed, so a sorted digest
+    # of the held-out pool's basenames pins exactly which regeneration the
+    # numbers were measured on (cross-corpus numbers are not comparable).
+    import hashlib
+
+    fp = hashlib.sha256("\n".join(sorted(
+        os.path.basename(s) + "|" + os.path.basename(t)
+        for s, t in val_pool)).encode()).hexdigest()[:16]
 
     report = {
         "date": time.strftime("%Y-%m-%d"),
@@ -162,23 +210,14 @@ def main(argv=None) -> int:
         "num_samples": args.num_samples,
         "protocol": ("training_parity_study val pipeline: split_pairs(seed=0) "
                      "10% pool, SRDataset(seed=1, flips=False) deterministic "
-                     "draws, vgg-free pixel criterion, sRGB PSNR"),
-        "caveats": [
-            "trained rows were trained on the superseded round-2 corpus "
-            "(lost to a VM recycle); NO row — shipped or trained — ever saw "
-            "a pair of this regenerated corpus, so the eval is zero-leak "
-            "for every row",
-            "the regenerated corpus shares the synthesis distribution with "
-            "the round-2 training corpus (scripts/make_gt_frames.py scene "
-            "families + the 8 reference samples), so trained rows keep a "
-            "distribution advantage over the reference's shipped weights "
-            "(trained on its own unpublished captures) — this measures "
-            "same-distribution retraining value, not weight quality on the "
-            "reference's distribution",
-        ],
-        "corpus_generation": "r4-rebuild (scripts/make_gt_frames.py --split; "
-                             "numbers are NOT comparable to evals on the "
-                             "round-2 corpus)",
+                     "draws, vgg-free pixel criterion, sRGB PSNR + sRGB "
+                     "MS-SSIM"),
+        "caveats": "per-row (see rows[*].caveat); every trained row keeps a "
+                   "distribution advantage over the shipped reference row — "
+                   "this measures same-distribution (re)training value, not "
+                   "weight quality on the reference's own distribution",
+        "corpus_generation": args.corpus_tag,
+        "heldout_pool_fingerprint_sha256_16": fp,
         "rows": rows,
     }
     out = os.path.abspath(args.out)  # bare filenames: dirname('') fails

@@ -48,11 +48,20 @@ def test_headtohead_protocol_smoke(tmp_path):
         "--out", str(out),
     ])
     if rc == 1 and not out.exists():
-        # the corpus dir exists but holds no complete pairs yet — the
-        # generator writes incrementally, so a freshly started rebuild
-        # (recipes/generate_dataset.sh on a recycled VM) has a window
-        # where the live-gate passes but the gather finds nothing
-        pytest.skip("corpus present but empty (generation in flight)")
+        # the generator writes incrementally, so a freshly started rebuild
+        # (recipes/generate_dataset.sh on a recycled VM) has a window where
+        # the live-gate passes but the gather finds nothing. Only skip when
+        # the corpus truly has no files yet — if PNGs exist but the gather
+        # found no pairs, that's a regression (e.g. a size-validation bug
+        # filtering everything), not an in-flight rebuild.
+        has_pngs = any(
+            f.endswith(".png")
+            for _, _, files in os.walk(CORPUS) for f in files
+        )
+        if not has_pngs:
+            pytest.skip("corpus present but empty (generation in flight)")
+        pytest.fail("corpus has PNGs but the head-to-head gather found no "
+                    "pairs — gather/size-validation regression?")
     assert rc == 0
     report = json.loads(out.read_text())
 
@@ -68,6 +77,19 @@ def test_headtohead_protocol_smoke(tmp_path):
         # both metrics finite and sane: loss positive, PSNR in (5, 99] dB
         assert 0.0 < row["pixel_loss_vggfree"] < 1.0
         assert 5.0 < row["srgb_psnr_db"] <= 99.0
+        # perceptual column: native 376x288 crops permit all 5 MS-SSIM scales
+        assert row["ms_ssim_srgb"] is not None
+        assert 0.0 < row["ms_ssim_srgb"] <= 1.0
+        # fairness caveats are per-row (advisor r4): every row carries one
+        assert isinstance(row["caveat"], str) and row["caveat"]
+
+    # the shipped row must be marked zero-leak; any fresh-run row must
+    # carry the early-stopping-selection caveat, never a zero-leak claim
+    assert report["rows"][0]["caveat"].startswith("zero-leak")
+    for row in report["rows"]:
+        if "fresh run on THIS corpus" in row["label"]:
+            assert "early-stopping selection set" in row["caveat"]
+    assert report["heldout_pool_fingerprint_sha256_16"]
 
     # deterministic draws: identical pools and seeds mean the rows were
     # scored on the SAME batches — the protocol's core fairness claim.

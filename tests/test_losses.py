@@ -16,6 +16,7 @@ from fs_uae_image_enhancer_project_tpu.losses import (
     luminance_loss,
     make_perceptual_loss,
     rgb_to_ycbcr,
+    ms_ssim,
     ssim,
     ssim_loss,
 )
@@ -56,6 +57,30 @@ def test_ssim_properties():
     noisy = jnp.clip(x + 0.3 * RNG.normal(size=x.shape).astype(np.float32), 0, 1)
     s = float(ssim(x, noisy))
     assert 0.0 < s < 0.95
+
+
+def test_ms_ssim_properties():
+    # 5-scale MS-SSIM needs min side > (11-1)*2^4 = 160
+    x = jnp.array(RNG.uniform(0, 1, (1, 192, 176, 3)).astype(np.float32))
+    assert float(ms_ssim(x, x)) == pytest.approx(1.0, abs=1e-4)
+    noisy = jnp.clip(x + 0.2 * RNG.normal(size=x.shape).astype(np.float32), 0, 1)
+    m = float(ms_ssim(x, noisy))
+    assert 0.0 < m < 0.97
+    # a distortion ordering MS-SSIM must respect: small noise > big noise
+    small = jnp.clip(x + 0.02 * RNG.normal(size=x.shape).astype(np.float32), 0, 1)
+    assert float(ms_ssim(x, small)) > m
+    # too-small inputs are a loud error, not a silent wrong number
+    with pytest.raises(ValueError):
+        ms_ssim(x[:, :64, :64, :], x[:, :64, :64, :])
+
+
+def test_ms_ssim_single_scale_reduces_to_ssim():
+    # with one scale weighted 1.0 MS-SSIM is exactly SSIM
+    x = jnp.array(RNG.uniform(0, 1, (1, 48, 48, 3)).astype(np.float32))
+    y = jnp.clip(x + 0.1 * RNG.normal(size=x.shape).astype(np.float32), 0, 1)
+    np.testing.assert_allclose(
+        float(ms_ssim(x, y, weights=(1.0,))), float(ssim(x, y)), rtol=1e-6
+    )
 
 
 def test_ssim_loss_reconstruction():

@@ -176,6 +176,49 @@ def test_sync_mode_depth0():
     assert not thread.is_alive()
 
 
+def test_latency_stats_written(tmp_path):
+    """--stats: server-side per-frame latency summary + histogram on exit,
+    counting every frame (pipelined ones surface via submit or drain)."""
+    import json
+    import threading
+
+    from fs_uae_image_enhancer_project_tpu.runtime.sidecar import (
+        SidecarClient, SidecarServer,
+    )
+
+    def invert(x):
+        import jax.numpy as jnp
+
+        rgb = 255 - x[..., :3]
+        alpha = jnp.full(rgb.shape[:-1] + (1,), 255, jnp.uint8)
+        return jnp.concatenate([rgb, alpha], axis=-1)
+
+    stats_path = tmp_path / "lat.json"
+    sock = f"/tmp/test_sidecar_lat_{os.getpid()}.sock"
+    server = SidecarServer(invert, sock, height=H, width=W, depth=2,
+                           verbose=0, stats_path=str(stats_path))
+    server.bind()
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    client = SidecarClient(sock)
+    n = 6
+    for f in _frames(n, seed=3):
+        client.submit(f)
+    client.drain()
+    client.shutdown_server()
+    client.close()
+    t.join(timeout=30)
+    assert not t.is_alive()
+
+    stats = json.loads(stats_path.read_text())
+    assert stats["frames"] == n  # in-flight tail measured during drain too
+    assert stats["depth"] == 2
+    assert 0.0 < stats["p50_ms"] <= stats["p90_ms"] <= stats["p99_ms"]
+    assert stats["min_ms"] <= stats["p50_ms"] <= stats["max_ms"]
+    assert sum(stats["histogram"]["counts"]) == n
+    assert "EXCLUDING socket RTT" in stats["definition"]
+
+
 def test_concurrent_clients_inprocess():
     """N clients served simultaneously, each with an independent pipeline;
     per-client outputs must equal what a lone client would get."""
