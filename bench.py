@@ -145,6 +145,33 @@ def main() -> None:
     # xla_bridge warning prints, then jax.devices() never returns)
     _arm_watchdog()
     _preempt_background_training()
+
+    # Optional fresh-process warm measurement, BEFORE this process touches
+    # the TPU (two concurrent TPU clients pollute both — CLAUDE.md): the
+    # child runs scripts/precompile.py to completion first, so with a seeded
+    # persistent cache its first call is the "restart cost after
+    # precompile" deployment figure. OFF by default: the first execution
+    # in a fresh process is lottery-dominated through the tunnel
+    # (8.6-517.8 s measured), which would regularly eat the watchdog
+    # budget in unattended runs.
+    warm_s = None
+    if os.environ.get("BENCH_MEASURE_WARM") == "1":
+        import re
+        import subprocess
+
+        try:
+            proc = subprocess.run(
+                [sys.executable,
+                 os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "scripts", "precompile.py")],
+                capture_output=True, text=True, timeout=900,
+            )
+            m = re.search(r"first call ([0-9.]+)s", proc.stdout)
+            if m:
+                warm_s = float(m.group(1))
+        except (subprocess.TimeoutExpired, OSError):
+            pass
+
     from fs_uae_image_enhancer_project_tpu.utils.platform import (
         honor_jax_platforms_env,
     )
@@ -206,28 +233,6 @@ def main() -> None:
         else "warm (served from persistent cache)" if entries
         else "unknown (no cache entries)"
     )
-
-    # Optional fresh-process warm measurement (scripts/precompile.py is the
-    # deploy-time seeding step). OFF by default: it would run a second TPU
-    # client while this one holds the chip — concurrent TPU processes
-    # pollute both (CLAUDE.md), and the number is lottery-dominated anyway.
-    warm_s = None
-    if os.environ.get("BENCH_MEASURE_WARM") == "1":
-        import re
-        import subprocess
-
-        try:
-            proc = subprocess.run(
-                [sys.executable,
-                 os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                              "scripts", "precompile.py")],
-                capture_output=True, text=True, timeout=900,
-            )
-            m = re.search(r"first call ([0-9.]+)s", proc.stdout)
-            if m:
-                warm_s = float(m.group(1))
-        except (subprocess.TimeoutExpired, OSError):
-            pass
 
     out = {
         "metric": "pix_shuffle 752x576 uint8 RGBA enhance, sustained fps (1 chip, chained)",
