@@ -260,6 +260,78 @@ def build_conv6_artifact() -> None:
     print(name, json.dumps(report), flush=True)
 
 
+def build_pix_shuffle_trained_artifact() -> None:
+    """Ship THIS framework's trained pix_shuffle weights as a full deploy
+    artifact (VERDICT r5 item 2). Unlike artifacts/model_pix_shuffle/ (which
+    carries the reference's shipped weights re-exported for parity), this
+    directory carries the repo-trained checkpoint that wins the head-to-head
+    (artifacts/headtohead_r5*.json: 33.67 vs 31.38 dB sRGB PSNR on the
+    held-out pool). Counterpart of the reference's model/model_pix_shuffle/
+    (its shipped production weights)."""
+    import glob
+
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from fs_uae_image_enhancer_project_tpu.export.enhance import make_enhance_fn
+    from fs_uae_image_enhancer_project_tpu.export.onnx_export import (
+        export_pix_shuffle_onnx,
+    )
+    from fs_uae_image_enhancer_project_tpu.export.onnx_runner import run_model
+    from fs_uae_image_enhancer_project_tpu.export.onnx_proto import load_model
+    from fs_uae_image_enhancer_project_tpu.export.onnx_svg import render_file
+    from fs_uae_image_enhancer_project_tpu.models import get_model
+    from fs_uae_image_enhancer_project_tpu.train.trainer import load_params
+
+    name = "pix_shuffle_trained"
+    out_dir = os.path.join(OUT, f"model_{name}")
+    os.makedirs(out_dir, exist_ok=True)
+    m = get_model("pix_shuffle")
+
+    # The committed snapshot (survives VM recycles) is the primary weight
+    # source; the ephemeral /root/work long-run checkpoint is the fallback
+    # for in-flight runs that haven't been snapshotted yet.
+    cks = sorted(glob.glob(os.path.join(
+        OUT, "model_pix_shuffle_trained", "checkpoint_best_epoch*")))
+    ck = cks[-1] if cks else TRAINED_CKPTS["pix_shuffle_long"]
+    if not os.path.isdir(ck):
+        print(f"skip {name}: no trained checkpoint at {ck}", file=sys.stderr)
+        return
+    params = load_params(ck, m.init(jax.random.key(0)))
+
+    enhance = make_enhance_fn(
+        m.apply, params, crop_left=16, compute_dtype=jnp.float32,
+        donate=False,
+    )
+    # fp32 primary graph (same rationale as the heavy family: fp16 weight
+    # rounding alone would cap the round trip below the >=64 dB bar); fp16
+    # variant alongside for deployment-size parity with the reference.
+    report = {"weights": f"trained ({ck})"}
+    onnx_out = os.path.join(out_dir, f"{name}.onnx")
+    export_pix_shuffle_onnx(params, m.config, onnx_out, crop_left=16,
+                            fp16=False)
+    render_file(onnx_out)
+    _verify_8_samples(name, out_dir, load_model(onnx_out), enhance, report)
+
+    fp16_out = os.path.join(out_dir, f"{name}_fp16.onnx")
+    export_pix_shuffle_onnx(params, m.config, fp16_out, crop_left=16,
+                            fp16=True)
+    rng = np.random.default_rng(0)
+    frame = rng.integers(0, 256, (1, 576, 752, 4), dtype=np.uint8)
+    native = np.asarray(enhance(jnp.asarray(frame)))[0]
+    g16 = run_model(load_model(fp16_out), {"input_rgba_chunky": frame})[
+        "output_rgba_uint8_chunky"
+    ][0]
+    report["random_frame_psnr_exported_fp16_vs_native_db"] = _psnr(
+        g16[..., :3], native[..., :3]
+    )
+    with open(os.path.join(out_dir, "parity_report.json"), "w") as f:
+        json.dump(report, f, indent=1)
+    print(name, json.dumps(report), flush=True)
+
+
 def build_residual_unet_artifact() -> None:
     """Residual U-Net deployment artifact (fresh-init — the reference has
     no unet export path or artifacts at all; torch2onnx.py covers only the
@@ -310,6 +382,18 @@ def main() -> int:
     )
 
     honor_jax_platforms_env()  # CLI convention: JAX_PLATFORMS binds
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", nargs="*", default=None,
+                    help="subset of builders to run: conv_stack, "
+                         "pix_shuffle_heavy, pix_shuffle_trained, "
+                         "residual_unet, conv6, pix_shuffle")
+    args = ap.parse_args()
+
+    def want(tag: str) -> bool:
+        return args.only is None or tag in args.only
+
     import numpy as np
     from PIL import Image
 
@@ -327,10 +411,18 @@ def main() -> int:
         print("reference tree unavailable; nothing to build", file=sys.stderr)
         return 1
 
-    build_conv_stack_artifacts()
-    build_pix_shuffle_heavy_artifact()
-    build_residual_unet_artifact()
-    build_conv6_artifact()
+    if want("conv_stack"):
+        build_conv_stack_artifacts()
+    if want("pix_shuffle_heavy"):
+        build_pix_shuffle_heavy_artifact()
+    if want("pix_shuffle_trained"):
+        build_pix_shuffle_trained_artifact()
+    if want("residual_unet"):
+        build_residual_unet_artifact()
+    if want("conv6"):
+        build_conv6_artifact()
+    if not want("pix_shuffle"):
+        return 0
 
     name = "pix_shuffle"
     out_dir = os.path.join(OUT, f"model_{name}")

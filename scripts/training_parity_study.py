@@ -130,15 +130,28 @@ def main() -> int:
         return {
             "novgg_val_loss": r["loss"],
             "srgb_psnr_db": r["srgb_psnr_db"],
+            # perceptual column (VERDICT r5 item 4): CLAUDE.md's deferred-
+            # items rule allows re-reading the VGG-feature ablation only
+            # under a non-PSNR perceptual metric
+            "ms_ssim_srgb": r["ms_ssim_srgb"],
         }
 
     summary = {}
     summary_path = os.path.join(OUT, "eval_summary.json")
     if os.path.exists(summary_path):
+        # NOTE: numbers measured on different corpus regenerations are NOT
+        # comparable (CLAUDE.md); the 'corpus' field below records which
+        # regeneration the current rows were produced on.
         with open(summary_path) as f:
             summary = json.load(f)
 
     def write_summary():
+        summary["corpus"] = {
+            "data": args.data,
+            "provenance": "scripts/make_gt_frames.py --split -> "
+                          "recipes/prepare_groundtruth.sh -> "
+                          "recipes/generate_dataset.sh (r4-rebuild)",
+        }
         with open(summary_path, "w") as f:
             json.dump(summary, f, indent=1)
 
@@ -205,7 +218,7 @@ def main() -> int:
                                vgg_params=vgg_mod._random_init())
         summary["plateau"] = {
             "epochs": args.plateau_epochs, "best_val": bv_c,
-            "best_epoch": be_c,
+            "best_epoch": be_c, **evaluate(ck_c),
             "reference_anchor": {
                 "file": "model/model_pix_shuffle/training_stats_pix_shuffle.csv",
                 "best_val": 0.11051, "best_epoch": 41,
@@ -213,8 +226,7 @@ def main() -> int:
                         "the comparable quantity, not the value",
             },
         }
-        with open(os.path.join(OUT, "eval_summary.json"), "w") as f:
-            json.dump(summary, f, indent=1)
+        write_summary()
         print(json.dumps(summary.get("plateau", {}), indent=1), flush=True)
 
     return 0
