@@ -37,15 +37,19 @@ sys.path.insert(0, REPO)
 H, W = 576, 752
 
 
-def start_server(sock: str, depth: int, max_clients: int) -> subprocess.Popen:
+def start_server(sock: str, depth: int, max_clients: int,
+                 stats: str | None = None) -> subprocess.Popen:
     env = dict(os.environ)
     prev = env.get("PYTHONPATH", "")
     env["PYTHONPATH"] = REPO + (os.pathsep + prev if prev else "")
+    cmd = [sys.executable, "-m",
+           "fs_uae_image_enhancer_project_tpu.runtime.sidecar",
+           "--socket", sock, "--depth", str(depth),
+           "--max_clients", str(max_clients)]
+    if stats:
+        cmd += ["--stats", stats]
     proc = subprocess.Popen(
-        [sys.executable, "-m",
-         "fs_uae_image_enhancer_project_tpu.runtime.sidecar",
-         "--socket", sock, "--depth", str(depth),
-         "--max_clients", str(max_clients)],
+        cmd,
         env=env, cwd=REPO, stdout=subprocess.PIPE,
         stderr=subprocess.STDOUT, text=True,
     )
@@ -135,10 +139,14 @@ def main(argv=None) -> int:
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "artifacts", "sidecar_multiclient_r4.json"))
+    ap.add_argument("--stats", default=None, metavar="PATH",
+                    help="server-side per-frame latency dump (enqueue -> "
+                         "enhanced bytes, excluding socket RTT) — the "
+                         "local-deployment latency the tunnel hides")
     args = ap.parse_args(argv)
 
     sock = f"/tmp/bench_sidecar_{os.getpid()}.sock"
-    server = start_server(sock, args.depth, max(args.clients))
+    server = start_server(sock, args.depth, max(args.clients), args.stats)
     rows = []
     try:
         for n in args.clients:

@@ -35,6 +35,12 @@ N_TRIALS = int(os.environ.get("NAS_TRIALS", "14"))
 EPOCHS = int(os.environ.get("NAS_EPOCHS", "5"))
 SAMPLES = int(os.environ.get("NAS_SAMPLES", "256"))
 MIN_FPS = float(os.environ.get("NAS_MIN_FPS", "0"))  # 0 = no gate (ref parity)
+# Optional wall-clock budget (seconds from launch). The study is SQLite-
+# resumable (load_if_exists), so a deadline-stopped run is a valid partial
+# study: re-running the same command continues adding trials. With a
+# deadline the summary/plots are still written (a plain kill would lose
+# them); trials_total in the summary says how far the study got.
+BUDGET_S = float(os.environ.get("NAS_BUDGET_S", "0"))  # 0 = no budget
 
 
 def main() -> int:
@@ -92,7 +98,17 @@ def main() -> int:
         sampler=TPESampler(seed=0),
         pruner=MedianPruner(n_warmup_steps=1),
     )
-    study.optimize(objective, n_trials=N_TRIALS)
+    import time
+
+    t0 = time.monotonic()
+    for _ in range(N_TRIALS):
+        if BUDGET_S and time.monotonic() - t0 > BUDGET_S:
+            print(f"budget {BUDGET_S:.0f}s reached after "
+                  f"{len(study.trials)} total trials; finalizing "
+                  "(resume by re-running — SQLite load_if_exists)",
+                  flush=True)
+            break
+        study.optimize(objective, n_trials=1)
 
     bt = study.best_trial
     assert bt is not None, "no completed trials"
