@@ -318,6 +318,43 @@ def make_objective(
     return objective
 
 
+def config_from_trial_params(study: str, trial_params: dict) -> "Conv6Config":
+    """Deterministically rebuild the Conv6Config a finished trial searched,
+    from its recorded params (the SQLite record / best_trial.json).
+
+    Replays ``suggest_conv6_config`` against a stub trial that answers every
+    suggestion from the recorded dict — the same mechanism the FPS-cache-hit
+    demo uses. Non-architecture keys (learning_rate, fps_measured,
+    batch_size) are simply never asked for by the suggestion pass.
+
+    A key the record lacks falls back to the FIRST choice / range low end:
+    trials recorded before a search-space widening (e.g. the round-4 parity
+    fix added gelu ``approximate``) never suggested the new conditional
+    sub-params, and the first choice is those trials' actual behaviour
+    (activation defaults). Fallbacks are deterministic, so the rebuilt
+    config still matches the FPS cache key of a post-widening re-measure.
+    """
+    preset = STUDY_PRESETS[study]
+
+    class _Replay:
+        def __init__(self, params):
+            self.trial_params = dict(params)
+
+        def suggest_categorical(self, name, choices):
+            return self.trial_params.get(name, list(choices)[0])
+
+        def suggest_int(self, name, lo, hi, step=1):
+            return int(self.trial_params.get(name, lo))
+
+        def suggest_float(self, name, lo, hi, log=False):
+            return float(self.trial_params.get(name, lo))
+
+    keys = ("searched_slots", "activation_choices", "saturating_choices",
+            "rectifier_choices", "param_policy", "search_layer6_kernel")
+    kw = {k: preset[k] for k in keys if k in preset}
+    return suggest_conv6_config(_Replay(trial_params), **kw)
+
+
 STUDY_PRESETS = {
     # layers 1/2/4/6/7, per-parity sets, even-slot conditional sub-params
     # (opt_act.py:122-165)

@@ -70,7 +70,6 @@ def main() -> int:
     from fs_uae_image_enhancer_project_tpu.nas.studies import (
         STUDY_PRESETS,
         make_objective,
-        suggest_conv6_config,
     )
     from fs_uae_image_enhancer_project_tpu.nas import visualize
 
@@ -118,29 +117,11 @@ def main() -> int:
     # through get_or_measure with a sentinel measure fn — a hit returns the
     # stored figure WITHOUT invoking it (reference behaviour:
     # optuna_study_opt_act.py:16-39 model_performance_cache.json).
-    class _Replay:
-        def __init__(self, params):
-            self.trial_params = dict(params)
-            self.calls = []
-
-        def suggest_categorical(self, name, choices):
-            self.calls.append(name)
-            return self.trial_params[name]
-
-        def suggest_int(self, name, lo, hi, step=1):
-            return int(self.trial_params[name])
-
-        def suggest_float(self, name, lo, hi, log=False):
-            return float(self.trial_params[name])
-
-    preset = STUDY_PRESETS["prune_act_r2"]
-    best_cfg = suggest_conv6_config(
-        _Replay(bt.params),
-        searched_slots=preset["searched_slots"],
-        activation_choices=preset["activation_choices"],
-        param_policy=preset["param_policy"],
-        search_layer6_kernel=preset["search_layer6_kernel"],
+    from fs_uae_image_enhancer_project_tpu.nas.studies import (
+        config_from_trial_params,
     )
+
+    best_cfg = config_from_trial_params("prune_act_r2", bt.params)
     measured = {"count": 0}
 
     def _sentinel():

@@ -1,0 +1,161 @@
+"""Train the NAS study's best trial to a real checkpoint and score it.
+
+Closes the "search loop's end value" gap (VERDICT r4 item 3): the reference's
+NAS visibly fed its production training (the Optuna-derived lr in
+/root/reference/model/train_pix_shuffle.sh), but neither the reference nor
+earlier rounds here ever trained a search winner out and measured what
+the search bought. This script:
+
+1. reads the study's best trial (artifacts/<nas_out>/best_trial.json),
+2. deterministically rebuilds its Conv6Config
+   (nas.studies.config_from_trial_params — replay, not re-search),
+3. trains it under the family's full criterion with the trial's own
+   Optuna-derived lr (the reference's provenance pattern), pinned
+   random-VGG basis for comparability with every other trained row,
+4. scores it under the ONE cross-run protocol (common.vggfree_eval) and
+   measures deployment-shape FPS under the corrected chunk="auto" harness,
+5. writes <nas_out>/winner_trained.json next to the study artifacts.
+
+Run on TPU:  python scripts/train_nas_winner.py [--epochs 40]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> int:
+    from fs_uae_image_enhancer_project_tpu.utils.platform import (
+        honor_jax_platforms_env,
+    )
+
+    honor_jax_platforms_env()  # CLI convention: JAX_PLATFORMS binds
+    # bench.py preemption contract (one chip; CSV resume is lossless)
+    try:
+        with open("/tmp/tps3.pid", "w") as f:
+            f.write(str(os.getpid()))
+    except OSError:
+        pass
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nas_out",
+                    default=os.path.join(REPO, "artifacts", "nas_r5"))
+    ap.add_argument("--study", default="prune_act_r2")
+    ap.add_argument("--data", default="/root/work/dataset_lores/train")
+    ap.add_argument("--out", default="/root/work/train_conv6_nas")
+    ap.add_argument("--crop_size", type=int, nargs=2, default=[376, 288])
+    ap.add_argument("--epochs", type=int, default=40)
+    ap.add_argument("--samples_per_epoch", type=int, default=2048)
+    ap.add_argument("--batch_size", type=int, default=8)
+    ap.add_argument("--accumulation_steps", type=int, default=4)
+    ap.add_argument("--patience", type=int, default=15)
+    ap.add_argument("--lr", type=float, default=None,
+                    help="default: the winning trial's own learning_rate")
+    args = ap.parse_args()
+
+    from fs_uae_image_enhancer_project_tpu.utils.compile_cache import (
+        enable_persistent_cache,
+    )
+
+    enable_persistent_cache()
+
+    from functools import partial
+
+    from fs_uae_image_enhancer_project_tpu.data import (
+        SRDataset, gather_all_samples_from_directory, split_pairs,
+    )
+    from fs_uae_image_enhancer_project_tpu.losses import vgg as vgg_mod
+    from fs_uae_image_enhancer_project_tpu.models import conv6 as conv6_mod
+    from fs_uae_image_enhancer_project_tpu.models import count_params, get_model
+    from fs_uae_image_enhancer_project_tpu.nas.studies import (
+        config_from_trial_params, measure_fps,
+    )
+    from fs_uae_image_enhancer_project_tpu.train.trainer import (
+        Trainer, TrainerConfig, load_params,
+    )
+
+    with open(os.path.join(args.nas_out, "best_trial.json")) as f:
+        study_summary = json.load(f)
+    bt = study_summary["best_trial"]
+    cfg = config_from_trial_params(args.study, bt["params"])
+    lr = args.lr if args.lr is not None else float(
+        bt["params"].get("learning_rate", 0.000544)
+    )
+
+    base = get_model("conv6")
+    model = base._replace(
+        variant=f"nas_winner_trial{bt['number']}", config=cfg,
+        init=partial(conv6_mod.init, cfg=cfg),
+        apply=partial(conv6_mod.apply, cfg=cfg),
+    )
+
+    crop = tuple(args.crop_size)
+    pairs = gather_all_samples_from_directory(args.data, crop, verbose=1)
+    train_pool, val_pool = split_pairs(pairs, 0.1)  # the studies' split
+    print(f"pool: {len(train_pool)} train / {len(val_pool)} val; "
+          f"winner trial {bt['number']} lr={lr:.6g} "
+          f"params={count_params(model.init(__import__('jax').random.key(0)))}",
+          flush=True)
+
+    tr = SRDataset(train_pool, crop, args.samples_per_epoch,
+                   batch_size=args.batch_size, seed=0,
+                   transfer_dtype="uint8")
+    va = SRDataset(val_pool, crop, max(args.samples_per_epoch // 8, 64),
+                   batch_size=args.batch_size, flips=False, seed=1,
+                   transfer_dtype="uint8")
+
+    tcfg = TrainerConfig(
+        num_epochs=args.epochs, lr=lr, batch_size=args.batch_size,
+        accumulation_steps=args.accumulation_steps,
+        checkpoint_interval=10, early_stopping_patience=args.patience,
+        checkpoint_dir=args.out,
+        verbose=1,
+    )
+    best_val, best_epoch, _ = Trainer(
+        model, tcfg, vgg_mod._random_init()  # pinned basis (plateau note)
+    ).train(tr, va)
+    print(f"best val {best_val:.5f} @ epoch {best_epoch}", flush=True)
+
+    # score under the ONE cross-run protocol + corrected FPS harness
+    import jax
+
+    from common import vggfree_eval
+
+    ck = os.path.join(args.out, "checkpoint_best_conv6")
+    params = load_params(ck, model.init(jax.random.key(0)))
+    va2 = SRDataset(val_pool, crop, 1024, batch_size=args.batch_size,
+                    flips=False, seed=1, transfer_dtype="uint8")
+    r = vggfree_eval(model, params, iter(va2))
+    fps = measure_fps(cfg, duration_s=5.0)
+
+    out = {
+        "study": args.study,
+        "winner_trial": bt["number"],
+        "winner_lr": lr,
+        "trained_epochs_budget": args.epochs,
+        "best_epoch": best_epoch,
+        "best_val_own_metric": best_val,
+        "samples_per_epoch": args.samples_per_epoch,
+        "eval": r,
+        "fps_deployment_shape": fps,
+        "checkpoint": ck,
+        "protocol": "common.vggfree_eval on the split_pairs(seed=0) held-out "
+                     "pool (same as eval_headtohead rows); FPS via "
+                     "measure_fps chunk='auto'",
+    }
+    path = os.path.join(args.nas_out, "winner_trained.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print("wrote", path, flush=True)
+    print(json.dumps(out), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
