@@ -342,3 +342,32 @@ def test_opt_act_preset_matches_reference_search_space(tmp_path):
         d = default_config().layers
         assert cfg.layers[2].acts == d[2].acts
         assert cfg.layers[4].acts == d[4].acts
+
+
+def test_config_from_trial_params_replay(tmp_path):
+    """A finished trial's recorded params deterministically rebuild the
+    exact config it searched (the train-the-winner entry path), including
+    first-choice fallbacks for sub-param keys recorded before a
+    search-space widening."""
+    from fs_uae_image_enhancer_project_tpu.nas.search import (
+        RandomSampler, Trial, create_study,
+    )
+    from fs_uae_image_enhancer_project_tpu.nas.studies import (
+        STUDY_PRESETS,
+        config_from_trial_params,
+        suggest_conv6_config,
+    )
+
+    study = create_study("replay", str(tmp_path / "r.sqlite"),
+                         sampler=RandomSampler(seed=11))
+    preset = dict(STUDY_PRESETS["prune_act_r2"])
+    t = Trial(study, 0)
+    cfg = suggest_conv6_config(t, **preset)
+    assert config_from_trial_params("prune_act_r2", t.params) == cfg
+
+    # pre-widening record: dropping a conditional sub-param key falls back
+    # to the first choice instead of KeyError (round-4 sqlite compat)
+    legacy = {k: v for k, v in t.params.items()
+              if not k.endswith(("_approximate", "_alpha"))}
+    cfg2 = config_from_trial_params("prune_act_r2", legacy)
+    assert len(cfg2.layers) == 7
