@@ -228,6 +228,22 @@ def main() -> int:
         }
         write_summary()
         print(json.dumps(summary.get("plateau", {}), indent=1), flush=True)
+    elif summary.get("plateau") and "superseded_by" not in summary["plateau"]:
+        # cross-corpus comparability rule: a stale plateau row from an
+        # earlier corpus must not sit silently next to fresh ablation rows.
+        # The full-criterion plateau evidence on the CURRENT corpus is the
+        # committed 94-epoch long-run curve (same model, same criterion
+        # family, same split) — point at it instead of mixing corpora.
+        summary["plateau"] = {
+            "superseded_by": "artifacts/model_pix_shuffle_trained/"
+                             "training_stats_pix_shuffle.csv",
+            "note": "94-epoch full-criterion curve on the regenerated "
+                    "corpus (scripts/train_psh_long.py, round 5; best val "
+                    "0.01734 @ epoch 73). The round-2-corpus 50-epoch "
+                    "checkpoint remains at plateau_full/ for history; its "
+                    "numbers are not comparable to this corpus's rows.",
+        }
+        write_summary()
 
     return 0
 
