@@ -102,9 +102,19 @@ def _preempt_background_training() -> None:
             cmdline = f.read().decode("utf-8", "replace")
     except (OSError, ValueError):
         return
-    if "train_psh_long" not in cmdline:
+    # Allowlist of resumable background chip users that self-register via
+    # utils.platform.register_preemptible_pid: CSV-resumable trainers and
+    # SQLite-resumable NAS studies. Anything else holding the pid file is a
+    # stale/unrelated process: hands off.
+    _PREEMPTIBLE = (
+        "train_psh_long",
+        "training_parity_study",
+        "nas_demo_r2",
+        "train_nas_winner",
+    )
+    if not any(name in cmdline for name in _PREEMPTIBLE):
         return  # stale pid file now names an unrelated process: hands off
-    print(f"# preempting background trainer pid {pid} (CSV-resumable)",
+    print(f"# preempting background chip user pid {pid} (resumable)",
           file=sys.stderr)
     import signal
 

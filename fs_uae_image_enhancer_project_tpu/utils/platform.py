@@ -53,3 +53,22 @@ def honor_jax_platforms_env() -> None:
                 "honor_jax_platforms_env() before anything touches jax "
                 "(see utils/platform.py docstring)."
             )
+
+
+def register_preemptible_pid(pidfile: str = "/tmp/tps3.pid") -> None:
+    """Register this process as a preemptible background chip user.
+
+    bench.py's _preempt_background_training kills the pid in this file —
+    strictly pid-file + cmdline-allowlist, never by pattern — before taking
+    the chip (one chip, one process; CLAUDE.md). Only call this from
+    scripts that are safe to kill and resume: CSV-resumable trainers,
+    SQLite-resumable NAS studies. The cmdline allowlist lives in bench.py;
+    registering a script here without adding it there is a no-op.
+    """
+    import os as _os
+
+    try:
+        with open(pidfile, "w") as f:
+            f.write(str(_os.getpid()))
+    except OSError:
+        pass

@@ -49,6 +49,11 @@ def main() -> int:
     )
 
     honor_jax_platforms_env()  # CLI convention: JAX_PLATFORMS binds
+    from fs_uae_image_enhancer_project_tpu.utils.platform import (
+        register_preemptible_pid,
+    )
+
+    register_preemptible_pid()  # bench.py may preempt us; run is resumable
     from fs_uae_image_enhancer_project_tpu.utils.compile_cache import (
         enable_persistent_cache,
     )

@@ -36,6 +36,11 @@ def main() -> int:
     )
 
     honor_jax_platforms_env()  # CLI convention: JAX_PLATFORMS binds
+    from fs_uae_image_enhancer_project_tpu.utils.platform import (
+        register_preemptible_pid,
+    )
+
+    register_preemptible_pid()  # bench.py may preempt us; run is resumable
     # bench.py preemption contract (one chip; CSV resume is lossless)
     try:
         with open("/tmp/tps3.pid", "w") as f:

@@ -43,6 +43,11 @@ def main() -> int:
     )
 
     honor_jax_platforms_env()  # CLI convention: JAX_PLATFORMS binds
+    from fs_uae_image_enhancer_project_tpu.utils.platform import (
+        register_preemptible_pid,
+    )
+
+    register_preemptible_pid()  # bench.py may preempt us; run is resumable
     ap = argparse.ArgumentParser()
     ap.add_argument("--data", required=True)
     ap.add_argument("--crop_size", type=int, nargs=2, default=[376, 288])
