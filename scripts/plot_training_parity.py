@@ -9,8 +9,11 @@ quantity is the normalized TRAJECTORY: each curve is indexed to its own
 epoch-1 value (skill rule: two measures of different scale -> index to a
 common base, never dual axes).
 
-Reads artifacts/training_parity/plateau_full/training_stats_pix_shuffle.csv
-and /root/reference/model/model_pix_shuffle/training_stats_pix_shuffle.csv;
+Reads the round-5 94-epoch full-criterion curve
+(artifacts/model_pix_shuffle_trained/training_stats_pix_shuffle.csv — the
+run that superseded plateau_full/ on the regenerated corpus; override with
+PARITY_OURS_CSV) and
+/root/reference/model/model_pix_shuffle/training_stats_pix_shuffle.csv;
 writes artifacts/training_parity/val_curve_comparison.png + the underlying
 points as JSON.
 """
@@ -21,11 +24,11 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-OUT_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    "artifacts", "training_parity",
-)
-OURS = os.path.join(OUT_DIR, "plateau_full", "training_stats_pix_shuffle.csv")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OUT_DIR = os.path.join(REPO, "artifacts", "training_parity")
+OURS = os.environ.get("PARITY_OURS_CSV") or os.path.join(
+    REPO, "artifacts", "model_pix_shuffle_trained",
+    "training_stats_pix_shuffle.csv")
 REF = "/root/reference/model/model_pix_shuffle/training_stats_pix_shuffle.csv"
 
 # validated categorical palette, light mode (dataviz reference instance)
