@@ -108,6 +108,7 @@ def _preempt_background_training() -> None:
     # stale/unrelated process: hands off.
     _PREEMPTIBLE = (
         "train_psh_long",
+        "train_psh_heavy_long",
         "training_parity_study",
         "nas_demo_r2",
         "train_nas_winner",

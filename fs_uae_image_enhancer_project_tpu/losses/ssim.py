@@ -106,19 +106,32 @@ def ms_ssim(
 ) -> jnp.ndarray:
     """Multi-scale SSIM over NHWC batches (Wang et al. 2003).
 
-    Follows pytorch_msssim's ms_ssim: at each of the first len(weights)-1
-    scales take the contrast-structure term, 2x2-average-pool (floor,
-    trailing odd row/col dropped), and at the last scale take full SSIM;
-    the result is prod(relu(term_i) ** weight_i). Inputs must satisfy
-    min(H, W) > (window_size - 1) * 2 ** (len(weights) - 1) so the last
-    scale still has a VALID window.
+    Same structure as pytorch_msssim's ms_ssim: at each of the first
+    len(weights)-1 scales take the contrast-structure term, 2x2-average-pool,
+    and at the last scale take full SSIM; the result is
+    prod(relu(term_i) ** weight_i). One DELIBERATE difference: the 2x2 pool
+    here floors (drops a trailing odd row/col) where pytorch_msssim
+    zero-pads odd dims (F.avg_pool2d(x, 2, padding=s % 2)), so values can
+    deviate slightly from pytorch_msssim whenever an intermediate scale has
+    an odd side (e.g. 376x288 -> 47 at scale 4). All ms_ssim numbers
+    published by this repo are computed by THIS function and are
+    self-consistent; do not compare them against pytorch_msssim outputs at
+    the third decimal.
+
+    The size guard is sized for floor pooling: after len(weights)-1 floor
+    halvings the last scale must still fit a VALID window, so
+    min(H, W) >= window_size * 2 ** (len(weights) - 1) (= 176 for the
+    defaults; the weaker (window_size-1)*2**(scales-1)+1 bound pytorch_msssim
+    asserts is only sufficient with its padded pooling and would let
+    161..175-pixel sides reach an empty VALID conv -> silent NaN here).
     """
     min_side = min(a.shape[1], a.shape[2])
-    need = (window_size - 1) * 2 ** (len(weights) - 1) + 1
+    need = window_size * 2 ** (len(weights) - 1)
     if min_side < need:
         raise ValueError(
             f"ms_ssim needs min(H,W) >= {need} for window_size="
-            f"{window_size} and {len(weights)} scales; got {min_side}"
+            f"{window_size} and {len(weights)} scales with floor pooling; "
+            f"got {min_side}"
         )
     terms = []
     for i in range(len(weights)):

@@ -120,7 +120,19 @@ class SidecarServer:
         # through the tunnel hides it behind 150-350 ms RTT.
         self.stats_path = stats_path
         self._lat_lock = threading.Lock()
-        self._latencies_ms: list = []
+        # Bounded accounting: a 60 fps emulator session is ~5.2M frames/day,
+        # so an unbounded per-frame float list is a slow leak. Percentiles
+        # come from a recent-window deque; lifetime totals and the artifact
+        # histogram accumulate online in O(1) memory.
+        from collections import deque
+
+        self._lat_window: "deque[float]" = deque(maxlen=self.LAT_WINDOW)
+        self._lat_count = 0
+        self._lat_sum = 0.0
+        self._lat_min = float("inf")
+        self._lat_max = 0.0
+        self._hist_edges = [0.5 * (2 ** (i / 2)) for i in range(24)]
+        self._hist_counts = [0] * (len(self._hist_edges) + 1)
 
     def _log(self, msg: str) -> None:
         if self.verbose:
@@ -331,15 +343,34 @@ class SidecarServer:
         self._record_latencies(lat_ms)
         return True
 
+    # recent-window size for percentile estimation (~18 min at 60 fps;
+    # ~0.5 MB of floats, the memory ceiling regardless of uptime)
+    LAT_WINDOW = 65536
+
     def _record_latencies(self, lat_ms: list) -> None:
-        if lat_ms:
-            with self._lat_lock:
-                self._latencies_ms.extend(lat_ms)
+        if not lat_ms:
+            return
+        edges = self._hist_edges
+        with self._lat_lock:
+            self._lat_window.extend(lat_ms)
+            self._lat_count += len(lat_ms)
+            self._lat_sum += sum(lat_ms)
+            self._lat_min = min(self._lat_min, min(lat_ms))
+            self._lat_max = max(self._lat_max, max(lat_ms))
+            for v in lat_ms:  # 0.5ms..~1.4s log2 buckets, online
+                self._hist_counts[
+                    next((i for i, e in enumerate(edges) if v < e),
+                         len(edges))
+                ] += 1
 
     def latency_stats(self) -> Optional[dict]:
-        """Percentile summary of server-side per-frame latency so far."""
+        """Summary of server-side per-frame latency so far: lifetime
+        count/mean/min/max plus percentiles over the last LAT_WINDOW
+        frames (bounded memory for long-lived servers)."""
         with self._lat_lock:
-            lats = sorted(self._latencies_ms)
+            lats = sorted(self._lat_window)
+            count, total = self._lat_count, self._lat_sum
+            lo, hi = self._lat_min, self._lat_max
         if not lats:
             return None
 
@@ -347,15 +378,17 @@ class SidecarServer:
             return round(lats[min(int(p / 100 * len(lats)), len(lats) - 1)], 3)
 
         return {
-            "frames": len(lats),
+            "frames": count,
+            "percentile_window_frames": len(lats),
             "depth": self.depth,
             "p50_ms": pct(50), "p90_ms": pct(90), "p99_ms": pct(99),
-            "min_ms": round(lats[0], 3), "max_ms": round(lats[-1], 3),
-            "mean_ms": round(sum(lats) / len(lats), 3),
+            "min_ms": round(lo, 3), "max_ms": round(hi, 3),
+            "mean_ms": round(total / count, 3),
             "definition": ("server-side enqueue->enhanced-bytes-in-host-"
                            "memory per frame, EXCLUDING socket RTT; "
                            "pipelined depths include queueing behind "
-                           "in-flight frames"),
+                           "in-flight frames; percentiles cover the most "
+                           "recent window, count/mean/min/max the lifetime"),
         }
 
     def _write_stats(self) -> None:
@@ -366,16 +399,12 @@ class SidecarServer:
             return
         import json
 
+        # committed artifacts carry a histogram, not a raw dump (bounded
+        # size); the counts accumulate online in _record_latencies
         with self._lat_lock:
-            lats = list(self._latencies_ms)
-        # committed artifacts carry a histogram, not a raw dump (bounded size)
-        edges = [0.5 * (2 ** (i / 2)) for i in range(24)]  # 0.5ms..~1.4s log2
-        counts = [0] * (len(edges) + 1)
-        for v in lats:
-            counts[next((i for i, e in enumerate(edges) if v < e),
-                        len(edges))] += 1
+            counts = list(self._hist_counts)
         stats["histogram"] = {
-            "edges_ms": [round(e, 3) for e in edges],
+            "edges_ms": [round(e, 3) for e in self._hist_edges],
             "counts": counts,
         }
         with open(self.stats_path, "w") as f:

@@ -17,7 +17,22 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from common import REF, TRAINED_CKPTS, psnr_u8 as _psnr  # noqa: E402
+from common import (  # noqa: E402
+    CURRENT_CORPUS_TAG, REF, TRAINED_CKPTS, psnr_u8 as _psnr,
+)
+
+
+def _stamp_weights(report: dict, weights_src: str) -> None:
+    """Record corpus provenance for trained weights.
+
+    Checkpoints under ephemeral /root/work are necessarily trained on the
+    CURRENT corpus (a VM recycle destroys both together), so a trained
+    weights_src gets the current tag. eval_headtohead reads this back to
+    choose the honest per-row fairness caveat when it falls back to a
+    committed ONNX after a recycle (advisor round-5 finding: the fallback
+    previously hard-assumed round-2 provenance)."""
+    if weights_src.startswith("trained"):
+        report["weights_corpus_tag"] = CURRENT_CORPUS_TAG
 
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                    "artifacts")
@@ -171,6 +186,7 @@ def build_pix_shuffle_heavy_artifact() -> None:
     # size parity with the reference's shipped fp16 artifacts) with its
     # measured figure in the report.
     report = {"weights": weights_src + " — no shipped reference heavy weights"}
+    _stamp_weights(report, weights_src)
     onnx_out = os.path.join(out_dir, f"{name}.onnx")
     export_pix_shuffle_onnx(params, m.config, onnx_out, crop_left=16,
                             fp16=False)
@@ -254,6 +270,7 @@ def build_conv6_artifact() -> None:
     report = {
         "weights": weights_src + " — reference never shipped the conv6 module",
     }
+    _stamp_weights(report, weights_src)
     _verify_8_samples(name, out_dir, load_model(onnx_out), enhance, report)
     with open(os.path.join(out_dir, "parity_report.json"), "w") as f:
         json.dump(report, f, indent=1)
@@ -293,8 +310,19 @@ def build_pix_shuffle_trained_artifact() -> None:
     # The committed snapshot (survives VM recycles) is the primary weight
     # source; the ephemeral /root/work long-run checkpoint is the fallback
     # for in-flight runs that haven't been snapshotted yet.
-    cks = sorted(glob.glob(os.path.join(
-        OUT, "model_pix_shuffle_trained", "checkpoint_best_epoch*")))
+    # numeric epoch sort: lexicographic order would rank epoch100 < epoch73
+    # and ship stale weights the first time a second snapshot lands
+    def _epoch_num(path: str) -> int:
+        import re
+
+        mnum = re.search(r"epoch(\d+)$", path)
+        return int(mnum.group(1)) if mnum else -1
+
+    cks = sorted(
+        glob.glob(os.path.join(
+            OUT, "model_pix_shuffle_trained", "checkpoint_best_epoch*")),
+        key=_epoch_num,
+    )
     ck = cks[-1] if cks else TRAINED_CKPTS["pix_shuffle_long"]
     if not os.path.isdir(ck):
         print(f"skip {name}: no trained checkpoint at {ck}", file=sys.stderr)
@@ -309,6 +337,7 @@ def build_pix_shuffle_trained_artifact() -> None:
     # rounding alone would cap the round trip below the >=64 dB bar); fp16
     # variant alongside for deployment-size parity with the reference.
     report = {"weights": f"trained ({ck})"}
+    _stamp_weights(report, "trained")
     onnx_out = os.path.join(out_dir, f"{name}.onnx")
     export_pix_shuffle_onnx(params, m.config, onnx_out, crop_left=16,
                             fp16=False)
@@ -370,6 +399,7 @@ def build_residual_unet_artifact() -> None:
     report = {
         "weights": weights_src + " — the reference has no unet artifacts",
     }
+    _stamp_weights(report, weights_src)
     _verify_8_samples(name, out_dir, load_model(onnx_out), enhance, report)
     with open(os.path.join(out_dir, "parity_report.json"), "w") as f:
         json.dump(report, f, indent=1)

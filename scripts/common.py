@@ -10,6 +10,13 @@ import os
 
 REF = "/root/reference/model"
 
+# Provenance tag for the corpus currently under /root/work/dataset_lores
+# (the scripts/make_gt_frames.py + recipes/generate_dataset.sh rebuild).
+# Stamped into trained-weight parity reports so downstream harnesses
+# (eval_headtohead) can tell which corpus a committed artifact's weights
+# were trained on — numbers are NOT comparable across corpora (CLAUDE.md).
+CURRENT_CORPUS_TAG = "r4-rebuild"
+
 # Trained checkpoints from this machine's hardware runs (CLAUDE.md "Local
 # assets"); the trainer names files by family without the variant suffix.
 TRAINED_CKPTS = {

@@ -22,6 +22,9 @@ round-2 corpus never saw these exact regenerated pairs, but the corpus is
 re-synthesized from overlapping seeded scenes + the same 8 reference
 frames, so pair-level overlap with round-2 training pairs is unknown.
 Every trained row keeps a distribution advantage over the shipped weights.
+When the heavy row falls back to the committed ONNX (post-recycle), its
+caveat is derived from the artifact's weights_corpus_tag (stamped by
+build_artifacts), not assumed.
 
 Usage:
     python scripts/eval_headtohead.py --data /root/work/dataset_lores/train \
@@ -185,11 +188,40 @@ def main(argv=None) -> int:
             import_any,
         )
 
+        # The committed ONNX's training corpus is whatever build_artifacts
+        # stamped into the neighboring parity_report (weights_corpus_tag) —
+        # hard-assuming round-2 provenance here became FALSE the moment the
+        # artifact was regenerated from the round-5 fresh-run checkpoint
+        # (advisor round-5 finding; same failure class as the r4 blanket
+        # zero-leak claim).
+        rep_h = os.path.join(os.path.dirname(onnx_h), "parity_report.json")
+        tag_h, wsrc_h = None, ""
+        if os.path.exists(rep_h):
+            with open(rep_h) as f:
+                _rep = json.load(f)
+            tag_h = _rep.get("weights_corpus_tag")
+            wsrc_h = _rep.get("weights", "")
+        if tag_h == args.corpus_tag:
+            caveat_h = (CAVEAT_FRESH +
+                        " (weights reimported from the committed ONNX "
+                        "emitted from that checkpoint)")
+        elif tag_h is not None:
+            caveat_h = (
+                f"trained on corpus '{tag_h}', scored on "
+                f"'{args.corpus_tag}' — cross-corpus row; " + CAVEAT_R2_TRAINED
+            )
+        else:
+            caveat_h = (
+                "reimported from committed ONNX with NO corpus provenance "
+                f"tag (parity_report weights: {wsrc_h!r}); treat the "
+                "training corpus as unknown — it may include this corpus's "
+                "other 90% and the early-stopping selection pool"
+            )
         params_h = import_any(onnx_h).params
         rows.append(run_row(heavy, params_h,
                             "trained here: pix_shuffle_heavy "
                             "(reimported from committed ONNX)",
-                            CAVEAT_R2_TRAINED))
+                            caveat_h))
     else:
         print(f"skip heavy row ({ck_h} and {onnx_h} absent)", flush=True)
 

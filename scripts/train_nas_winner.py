@@ -41,12 +41,6 @@ def main() -> int:
     )
 
     register_preemptible_pid()  # bench.py may preempt us; run is resumable
-    # bench.py preemption contract (one chip; CSV resume is lossless)
-    try:
-        with open("/tmp/tps3.pid", "w") as f:
-            f.write(str(os.getpid()))
-    except OSError:
-        pass
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--nas_out",

@@ -30,13 +30,13 @@ def main() -> int:
     )
 
     honor_jax_platforms_env()  # CLI convention: JAX_PLATFORMS binds
+    from fs_uae_image_enhancer_project_tpu.utils.platform import (
+        register_preemptible_pid,
+    )
+
     # Same preemption contract as train_psh_long.py: bench.py kills a
     # concurrent trainer by this pid file (one chip; CSV resume = lossless).
-    try:
-        with open("/tmp/tps3.pid", "w") as f:
-            f.write(str(os.getpid()))
-    except OSError:
-        pass
+    register_preemptible_pid()
     ap = argparse.ArgumentParser()
     ap.add_argument("--data", default="/root/work/dataset_lores/train")
     ap.add_argument("--out", default="/root/work/train_psh")

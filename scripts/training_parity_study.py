@@ -59,6 +59,11 @@ def main() -> int:
     ap.add_argument("--lr", type=float, default=0.000544)  # train_pix_shuffle.sh
     ap.add_argument("--skip", nargs="*", default=[],
                     choices=["ablation", "plateau", "selfvgg"])
+    from common import CURRENT_CORPUS_TAG
+
+    ap.add_argument("--corpus_tag", default=CURRENT_CORPUS_TAG,
+                    help="provenance tag stamped into every row measured "
+                         "this run (cross-corpus numbers are not comparable)")
     args = ap.parse_args()
 
     from fs_uae_image_enhancer_project_tpu.utils.compile_cache import (
@@ -151,12 +156,18 @@ def main() -> int:
             summary = json.load(f)
 
     def write_summary():
-        summary["corpus"] = {
+        # 'last_run' describes THIS invocation only; the authoritative
+        # per-row provenance is each row's own corpus_tag (a partial re-run
+        # must not relabel rows measured on an older corpus — advisor
+        # round-5 finding).
+        summary["last_run"] = {
             "data": args.data,
+            "corpus_tag": args.corpus_tag,
             "provenance": "scripts/make_gt_frames.py --split -> "
                           "recipes/prepare_groundtruth.sh -> "
-                          "recipes/generate_dataset.sh (r4-rebuild)",
+                          "recipes/generate_dataset.sh",
         }
+        summary.pop("corpus", None)  # the old whole-file field was the bug
         with open(summary_path, "w") as f:
             json.dump(summary, f, indent=1)
 
@@ -175,6 +186,7 @@ def main() -> int:
 
         summary["ablation"] = {
             "epochs": args.ablation_epochs,
+            "corpus_tag": args.corpus_tag,
             "novgg": {"best_val_own_metric": bv_a, "best_epoch": be_a,
                       **evaluate(ck_a)},
             "randvgg": {"best_val_own_metric": bv_b, "best_epoch": be_b,
@@ -204,6 +216,7 @@ def main() -> int:
             )
             summary.setdefault("ablation", {})["selfvgg"] = {
                 "best_val_own_metric": bv_c, "best_epoch": be_c,
+                "corpus_tag": args.corpus_tag,
                 **evaluate(ck_c),
             }
             write_summary()
@@ -223,7 +236,8 @@ def main() -> int:
                                vgg_params=vgg_mod._random_init())
         summary["plateau"] = {
             "epochs": args.plateau_epochs, "best_val": bv_c,
-            "best_epoch": be_c, **evaluate(ck_c),
+            "best_epoch": be_c, "corpus_tag": args.corpus_tag,
+            **evaluate(ck_c),
             "reference_anchor": {
                 "file": "model/model_pix_shuffle/training_stats_pix_shuffle.csv",
                 "best_val": 0.11051, "best_epoch": 41,
@@ -233,7 +247,15 @@ def main() -> int:
         }
         write_summary()
         print(json.dumps(summary.get("plateau", {}), indent=1), flush=True)
-    elif summary.get("plateau") and "superseded_by" not in summary["plateau"]:
+    elif (
+        summary.get("plateau")
+        and "superseded_by" not in summary["plateau"]
+        # staleness means MEASURED ON A DIFFERENT CORPUS — a plateau row
+        # the current corpus already paid for (matching corpus_tag) must
+        # never be clobbered by a later --skip plateau re-run (advisor
+        # round-5 finding: the marker-key check alone destroyed evidence)
+        and summary["plateau"].get("corpus_tag") != args.corpus_tag
+    ):
         # cross-corpus comparability rule: a stale plateau row from an
         # earlier corpus must not sit silently next to fresh ablation rows.
         # The full-criterion plateau evidence on the CURRENT corpus is the

@@ -60,7 +60,7 @@ def test_ssim_properties():
 
 
 def test_ms_ssim_properties():
-    # 5-scale MS-SSIM needs min side > (11-1)*2^4 = 160
+    # 5-scale MS-SSIM with floor pooling needs min side >= 11*2^4 = 176
     x = jnp.array(RNG.uniform(0, 1, (1, 192, 176, 3)).astype(np.float32))
     assert float(ms_ssim(x, x)) == pytest.approx(1.0, abs=1e-4)
     noisy = jnp.clip(x + 0.2 * RNG.normal(size=x.shape).astype(np.float32), 0, 1)
@@ -72,6 +72,15 @@ def test_ms_ssim_properties():
     # too-small inputs are a loud error, not a silent wrong number
     with pytest.raises(ValueError):
         ms_ssim(x[:, :64, :64, :], x[:, :64, :64, :])
+    # the 161..175 window: passes pytorch_msssim's assert bound but would
+    # reach an empty VALID conv (silent NaN) under floor pooling — must be
+    # a loud error here too (advisor-verified failure at 168x168)
+    big = jnp.array(RNG.uniform(0, 1, (1, 168, 168, 3)).astype(np.float32))
+    with pytest.raises(ValueError):
+        ms_ssim(big, big)
+    # 176 is the exact floor-pool feasibility boundary: finite, == 1 on self
+    edge = jnp.array(RNG.uniform(0, 1, (1, 176, 176, 3)).astype(np.float32))
+    assert float(ms_ssim(edge, edge)) == pytest.approx(1.0, abs=1e-4)
 
 
 def test_ms_ssim_single_scale_reduces_to_ssim():
