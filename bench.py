@@ -151,11 +151,47 @@ def _preempt_background_training() -> None:
                   "concurrent process", file=sys.stderr)
 
 
+def _claim_chip_lock() -> None:
+    """Hold /tmp/tpu_bench.lock for this process's lifetime.
+
+    Preempted trainers come back via supervising restart loops
+    (recipes/train_heavy_staged.sh); register_preemptible_pid waits on
+    this lock so the restarted trainer cannot land on the chip while the
+    bench still owns it. Stale locks (dead pid) are ignored by waiters,
+    but clean up on exit anyway."""
+    import atexit
+
+    from fs_uae_image_enhancer_project_tpu.utils.platform import (
+        BENCH_LOCKFILE,
+    )
+
+    plats = os.environ.get("JAX_PLATFORMS", "")
+    if plats and "tpu" not in plats and "axon" not in plats:
+        return  # CPU-pinned smoke bench: no chip to guard
+
+    try:
+        with open(BENCH_LOCKFILE, "w") as f:
+            f.write(str(os.getpid()))
+    except OSError:
+        return
+
+    def _release() -> None:
+        try:
+            with open(BENCH_LOCKFILE) as f:
+                if int(f.read().strip()) == os.getpid():
+                    os.unlink(BENCH_LOCKFILE)
+        except (OSError, ValueError):
+            pass
+
+    atexit.register(_release)
+
+
 def main() -> None:
     # watchdog first: the wedge can bite during backend init itself (the
     # xla_bridge warning prints, then jax.devices() never returns)
     _arm_watchdog()
     _preempt_background_training()
+    _claim_chip_lock()
 
     # Optional fresh-process warm measurement, BEFORE this process touches
     # the TPU (two concurrent TPU clients pollute both — CLAUDE.md): the

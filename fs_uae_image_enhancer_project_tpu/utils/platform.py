@@ -55,6 +55,43 @@ def honor_jax_platforms_env() -> None:
             )
 
 
+BENCH_LOCKFILE = "/tmp/tpu_bench.lock"
+
+
+def wait_for_bench_lock(
+    lockfile: str = BENCH_LOCKFILE, timeout_s: float = 2400.0,
+    poll_s: float = 5.0,
+) -> None:
+    """Block while a bench run holds the chip (one chip, one process).
+
+    bench.py preempts a registered background trainer (SIGTERM; CSV resume
+    is lossless) and writes its own pid here while it owns the chip. A
+    supervising restart loop (recipes/train_heavy_staged.sh) would
+    otherwise relaunch the trainer immediately and collide with the
+    still-running bench — the exact two-TPU-process pollution CLAUDE.md
+    forbids. A lockfile naming a dead pid is stale (bench crashed) and is
+    ignored.
+    """
+    import time as _time
+
+    deadline = _time.monotonic() + timeout_s
+    while _time.monotonic() < deadline:
+        try:
+            with open(lockfile) as f:
+                pid = int(f.read().strip())
+            # a zombie (exited, unreaped by a still-living parent) holds no
+            # chip: os.kill(pid, 0) would treat it as alive forever
+            with open(f"/proc/{pid}/stat") as f:
+                if f.read().split()[2] == "Z":
+                    return
+        except (OSError, ValueError):
+            return  # no lock, unreadable, or dead pid -> stale
+        _time.sleep(poll_s)
+    raise TimeoutError(
+        f"bench lock {lockfile} still held after {timeout_s:.0f}s"
+    )
+
+
 def register_preemptible_pid(pidfile: str = "/tmp/tps3.pid") -> None:
     """Register this process as a preemptible background chip user.
 
@@ -64,9 +101,14 @@ def register_preemptible_pid(pidfile: str = "/tmp/tps3.pid") -> None:
     scripts that are safe to kill and resume: CSV-resumable trainers,
     SQLite-resumable NAS studies. The cmdline allowlist lives in bench.py;
     registering a script here without adding it there is a no-op.
+
+    First WAITS for any live bench run to release the chip: preempted
+    trainers come back via supervising restart loops, and restarting into
+    a running bench would put two processes on the one chip.
     """
     import os as _os
 
+    wait_for_bench_lock()
     try:
         with open(pidfile, "w") as f:
             f.write(str(_os.getpid()))

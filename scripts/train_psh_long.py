@@ -27,16 +27,16 @@ def main() -> int:
     )
 
     honor_jax_platforms_env()  # CLI convention: JAX_PLATFORMS binds
+    from fs_uae_image_enhancer_project_tpu.utils.platform import (
+        register_preemptible_pid,
+    )
+
     # Register for preemption: bench.py kills a concurrent trainer strictly
     # by this pid file + cmdline check (one chip, one process; training is
     # CSV-resumable so the kill is lossless). Self-registering here means
     # ANY launch of this script is preemptible, not only watcher-managed
-    # ones.
-    try:
-        with open("/tmp/tps3.pid", "w") as f:
-            f.write(str(os.getpid()))
-    except OSError:
-        pass
+    # ones. The helper also waits out a live bench before (re)starting.
+    register_preemptible_pid()
     ap = argparse.ArgumentParser()
     ap.add_argument("--data", default="/root/work/dataset_lores/train")
     ap.add_argument("--out", default="/root/work/train_psh_long")

@@ -49,3 +49,49 @@ def test_guard_noop_without_env():
     finally:
         if env_backup is not None:
             os.environ["JAX_PLATFORMS"] = env_backup
+
+
+def test_wait_for_bench_lock(tmp_path):
+    """The bench lock blocks preemptible trainers while the bench pid is
+    alive, ignores stale locks (dead pid), and times out loudly."""
+    import subprocess
+    import sys as _sys
+    import time
+
+    import pytest
+
+    import fs_uae_image_enhancer_project_tpu.utils.platform as plat
+
+    lock = str(tmp_path / "bench.lock")
+
+    # no lockfile: returns immediately
+    plat.wait_for_bench_lock(lockfile=lock, timeout_s=1.0, poll_s=0.05)
+
+    # stale lock (dead pid): ignored. Spawn-and-reap a real child so the
+    # pid is known-dead rather than guessing an unused number.
+    child = subprocess.Popen([_sys.executable, "-c", "pass"])
+    child.wait()
+    with open(lock, "w") as f:
+        f.write(str(child.pid))
+    plat.wait_for_bench_lock(lockfile=lock, timeout_s=1.0, poll_s=0.05)
+
+    # live lock: blocks until released, then proceeds
+    holder = subprocess.Popen([_sys.executable, "-c", "import time; time.sleep(1.0)"])
+    with open(lock, "w") as f:
+        f.write(str(holder.pid))
+    t0 = time.monotonic()
+    plat.wait_for_bench_lock(lockfile=lock, timeout_s=30.0, poll_s=0.05)
+    waited = time.monotonic() - t0
+    holder.wait()
+    assert waited >= 0.5, "should have blocked while the holder lived"
+
+    # never-released live lock: loud timeout, not a silent hang
+    holder2 = subprocess.Popen([_sys.executable, "-c", "import time; time.sleep(30)"])
+    try:
+        with open(lock, "w") as f:
+            f.write(str(holder2.pid))
+        with pytest.raises(TimeoutError):
+            plat.wait_for_bench_lock(lockfile=lock, timeout_s=0.3, poll_s=0.05)
+    finally:
+        holder2.kill()
+        holder2.wait()
